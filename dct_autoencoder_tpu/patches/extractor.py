@@ -1,0 +1,326 @@
+"""Feature extraction: RGB image -> packed DCT patch token batches, and back.
+
+TPU-first re-design of the reference extractor
+(reference: dct_autoencoder/feature_extraction_dct_autoencoder.py).  Design
+notes on how this diverges from the reference implementation:
+
+* The whole-image DCT runs ON DEVICE as MXU matmuls (ops/dct.py).  The
+  reference is forced onto the CPU by a cuFFT memory leak
+  (feature_extraction...py:138-141); that workaround is obsolete here.
+* Per-image preprocessing (IPT + DCT + patchify + importance sort) is one
+  jitted function cached per image shape; only the final `[:k]` truncation
+  (data-dependent token budget) happens on host, on the already-sorted
+  prefix.
+* `revert_patching` is a single vectorized scatter into dense per-image
+  canvases instead of the reference's per-token Python loop
+  (feature_extraction...py:639-643).
+* Sequence packing stays host-side (see packing.py) and produces static
+  `(b, max_seq_len)` batches, which is what XLA wants.
+"""
+from __future__ import annotations
+
+import math
+import random as _random
+from functools import partial
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.colorspace import ipt_to_rgb, rgb_to_ipt
+from ..ops.dct import dct2, idct2
+from .container import DCTPatches
+from .packing import GroupPatchesState, batch_groups, group_patches_by_max_seq_len
+
+
+def exp_trunc_dist(beta: float, rng: Optional[_random.Random] = None) -> float:
+    """Exponential draw used for the stochastic token budget (util.py:167-172)."""
+    r = rng if rng is not None else _random
+    x = r.random()
+    return -1.0 / beta * math.log(x)
+
+
+class DCTAutoencoderFeatureExtractor:
+    """Image <-> packed DCT token pipeline.
+
+    Parameters mirror the reference extractor (feature_extraction...py:108-127):
+    channel_importances defaults to (8, 1, 1) (intensity-heavy) and the patch
+    magnitude contributes with weight 0.1 to the importance score.
+    """
+
+    def __init__(
+        self,
+        channels: int,
+        patch_size: int,
+        sample_patches_beta: float,
+        max_patch_h: int,
+        max_patch_w: int,
+        max_seq_len: int,
+        channel_importances: Tuple[float, ...] = (8.0, 1.0, 1.0),
+        patch_sample_magnitude_weight: float = 0.1,
+        rng: Optional[_random.Random] = None,
+    ):
+        self.channels = channels
+        self.patch_size = patch_size
+        self.sample_patches_beta = sample_patches_beta
+        self.max_patch_h = max_patch_h
+        self.max_patch_w = max_patch_w
+        self.max_seq_len = max_seq_len
+        self.channel_importances = tuple(float(x) for x in channel_importances)
+        self.patch_sample_magnitude_weight = patch_sample_magnitude_weight
+        self.rng = rng
+        self._preproc_cache = {}
+        self._postproc_cache = {}
+
+    # ------------------------------------------------------------------ in
+
+    def _get_crop_dims(self, h: int, w: int) -> Tuple[int, int]:
+        """Floor (h, w) to patch multiples (reference feature_extraction...py:312-345)."""
+        assert h >= self.patch_size and w >= self.patch_size
+        p_h = max(h // self.patch_size, 1)
+        p_w = max(w // self.patch_size, 1)
+        return p_h * self.patch_size, p_w * self.patch_size
+
+    def _build_preproc_fn(self, h: int, w: int):
+        """Jitted: RGB (c,h,w) -> (importance-sorted patches, positions, channels).
+
+        The image is IPT-transformed, DCT'd at full size, the DCT plane cropped
+        to a patch multiple, patchified, out-of-grid patches dropped, and all
+        remaining tokens sorted by importance (score: 0.1*|patch|_inf +
+        -(h+w)/channel_importance; reference feature_extraction...py:364-452).
+        Only the top `cap` tokens are returned; the data-dependent budget k is
+        applied on host by slicing this sorted prefix.
+        """
+        p = self.patch_size
+        c = self.channels
+        ch, cw = self._get_crop_dims(h, w)
+        ph, pw = ch // p, cw // p
+
+        hh, ww = np.meshgrid(np.arange(ph), np.arange(pw), indexing="ij")
+        valid = (hh < self.max_patch_h) & (ww < self.max_patch_w)
+        vidx = np.nonzero(valid.reshape(-1))[0]
+        hv = hh.reshape(-1)[vidx].astype(np.int32)
+        wv = ww.reshape(-1)[vidx].astype(np.int32)
+        s_valid = len(vidx)
+        total = s_valid * c
+        cap = min(total, self.max_seq_len)
+
+        # per-token (patch-major, channel-minor) static metadata
+        pos_rep = np.stack([np.repeat(hv, c), np.repeat(wv, c)], axis=-1)  # (total, 2)
+        ch_rep = np.tile(np.arange(c, dtype=np.int32), s_valid)  # (total,)
+        pos_dist = -(hv + wv).astype(np.float32)  # (s_valid,)
+        chan_imp = np.asarray(self.channel_importances, dtype=np.float32)
+
+        vidx_j = jnp.asarray(vidx)
+        pos_rep_j = jnp.asarray(pos_rep)
+        ch_rep_j = jnp.asarray(ch_rep)
+        pos_dist_j = jnp.asarray(pos_dist)
+        chan_imp_j = jnp.asarray(chan_imp)
+        mag_w = self.patch_sample_magnitude_weight
+
+        @jax.jit
+        def fn(im):
+            x = rgb_to_ipt(im.astype(jnp.float32))
+            x = dct2(x)
+            x = x[:, :ch, :cw]  # crop the DCT plane to a patch multiple
+            # patchify: c (ph p) (pw p) -> (ph*pw) c (p*p)
+            x = x.reshape(c, ph, p, pw, p).transpose(1, 3, 0, 2, 4).reshape(ph * pw, c, p * p)
+            x = jnp.take(x, vidx_j, axis=0)  # (s_valid, c, p*p)
+
+            mags = jnp.max(jnp.abs(x), axis=-1) * mag_w  # (s_valid, c)
+            scores = mags + pos_dist_j[:, None] / chan_imp_j[None, :]
+            order = jnp.argsort(-scores.reshape(-1))[:cap]
+
+            flat = x.reshape(total, p * p)
+            patches = jnp.take(flat, order, axis=0)
+            positions = jnp.take(pos_rep_j, order, axis=0)
+            channels = jnp.take(ch_rep_j, order, axis=0)
+            return patches, positions, channels
+
+        return fn, total, (ph, pw)
+
+    def _get_preproc_fn(self, h: int, w: int):
+        key = (h, w)
+        if key not in self._preproc_cache:
+            self._preproc_cache[key] = self._build_preproc_fn(h, w)
+        return self._preproc_cache[key]
+
+    def sample_k(self, total: int) -> int:
+        """Stochastic token budget (reference feature_extraction...py:429-437)."""
+        k = total
+        if self.sample_patches_beta > 0.0:
+            k = min(round(exp_trunc_dist(self.sample_patches_beta, self.rng)), k)
+            k = max(1, k)
+        return min(k, self.max_seq_len)
+
+    def preprocess(self, im) -> dict:
+        """Single image (c, h, w) RGB in [0,1] -> per-image token dict.
+
+        Returns dict(patches (k, p*p), positions (k, 2), channels (k,),
+        original_sizes (h, w), patch_sizes (ph, pw)) — same record as the
+        reference's preprocess (feature_extraction...py:154-177).
+        """
+        im = np.asarray(im)
+        c, h, w = im.shape
+        assert c == self.channels
+        fn, total, (ph, pw) = self._get_preproc_fn(h, w)
+        patches, positions, channels = fn(im)
+        k = self.sample_k(total)
+        return dict(
+            patches=np.asarray(patches)[:k],
+            positions=np.asarray(positions)[:k],
+            channels=np.asarray(channels)[:k],
+            original_sizes=(h, w),
+            patch_sizes=(ph, pw),
+        )
+
+    # --------------------------------------------------------------- batches
+
+    def iter_batches(self, dataloader: Iterable, batch_size: Optional[int] = None):
+        """Greedy-pack a stream of per-image dicts into DCTPatches batches.
+
+        Same contract as the reference (feature_extraction...py:179-287):
+        `dataloader` yields dicts of lists (column -> per-image values);
+        leftover open rows are carried across pulls.  With batch_size None,
+        every pull is flushed into a single batch.
+        """
+        state: Optional[GroupPatchesState] = None
+        cum_original_sizes: List[Tuple[int, int]] = []
+        cum_patch_sizes: List[Tuple[int, int]] = []
+        cum_data: dict = {}
+
+        dataloader = iter(dataloader)
+        while True:
+            try:
+                dict_data = next(dataloader)
+            except StopIteration:
+                return
+
+            patches = dict_data["patches"]
+            positions = dict_data["positions"]
+            channels = dict_data["channels"]
+            original_sizes = dict_data["original_sizes"]
+            patch_sizes = dict_data["patch_sizes"]
+            misc = {
+                k: v
+                for k, v in dict_data.items()
+                if k not in {"patches", "positions", "channels", "original_sizes", "patch_sizes"}
+            }
+
+            cum_original_sizes += list(original_sizes)
+            cum_patch_sizes += list(patch_sizes)
+            for k, v in misc.items():
+                cum_data.setdefault(k, []).extend(v)
+
+            items = [
+                (np.asarray(p), np.asarray(pos), np.asarray(ch))
+                for p, pos, ch in zip(patches, positions, channels)
+            ]
+            state = group_patches_by_max_seq_len(items, self.max_seq_len, state)
+
+            if batch_size is None and state.group:
+                state.groups.append(state.group)
+                state.group = []
+                state.seq_len = 0
+
+            if batch_size is None or len(state.groups) > batch_size:
+                take_groups = state.groups[:batch_size] if batch_size is not None else state.groups
+                rest_groups = state.groups[batch_size:] if batch_size is not None else []
+
+                n_items = sum(len(g) for g in take_groups)
+                take_orig, cum_original_sizes = (
+                    cum_original_sizes[:n_items],
+                    cum_original_sizes[n_items:],
+                )
+                take_patch, cum_patch_sizes = cum_patch_sizes[:n_items], cum_patch_sizes[n_items:]
+                take_data = {k: v[:n_items] for k, v in cum_data.items()}
+                cum_data = {k: v[n_items:] for k, v in cum_data.items()}
+
+                state = GroupPatchesState(
+                    groups=rest_groups, group=state.group, seq_len=state.seq_len
+                )
+
+                batch = batch_groups(
+                    take_groups,
+                    self.max_seq_len,
+                    patch_sizes=tuple(take_patch),
+                    original_sizes=tuple(take_orig),
+                    _data=take_data or None,
+                )
+                if batch_size is not None:
+                    assert batch.patches.shape[0] == batch_size
+                yield batch
+
+    # ------------------------------------------------------------------ out
+
+    def revert_patching(self, output: DCTPatches) -> List[np.ndarray]:
+        """Scatter packed tokens back onto zeroed per-image DCT patch canvases.
+
+        One vectorized scatter for the whole batch (vs. the reference's
+        per-token loop, feature_extraction...py:607-656).  Returns a list of
+        (c, ph*p, pw*p) DCT-plane arrays, one per packed image.
+        """
+        p = self.patch_size
+        c = self.channels
+        H, W = self.max_patch_h, self.max_patch_w
+
+        tokens = np.asarray(output.patches)
+        ids = np.asarray(output.batched_image_ids)
+        pad = np.asarray(output.key_pad_mask)
+        chs = np.asarray(output.patch_channels)
+        pos = np.asarray(output.patch_positions)
+        b, s, pz = tokens.shape
+
+        # global image index per token: rows contribute images in order
+        n_per_row = np.where((~pad).any(axis=1), ids.max(axis=1, where=~pad, initial=0) + 1, 0)
+        offsets = np.concatenate([[0], np.cumsum(n_per_row)])
+        n_images = int(offsets[-1])
+        assert n_images == len(output.patch_sizes), (
+            f"{n_images} packed images vs {len(output.patch_sizes)} metadata entries"
+        )
+
+        gid = offsets[:-1, None] + ids  # (b, s)
+        flat_idx = ((gid * c + chs) * H + pos[..., 0]) * W + pos[..., 1]
+        trash = n_images * c * H * W
+        flat_idx = np.where(pad, trash, flat_idx).reshape(-1)
+
+        canvas = np.zeros((n_images * c * H * W + 1, pz), dtype=tokens.dtype)
+        canvas[flat_idx] = tokens.reshape(-1, pz)
+        canvas = canvas[:-1].reshape(n_images, c, H, W, pz)
+
+        images = []
+        for i, (ph, pw) in enumerate(output.patch_sizes):
+            img = canvas[i, :, :ph, :pw, :]  # (c, ph, pw, p*p)
+            img = img.reshape(c, ph, pw, p, p).transpose(0, 1, 3, 2, 4).reshape(c, ph * p, pw * p)
+            images.append(img)
+        return images
+
+    def _get_postproc_fn(self, ch: int, cw: int, h: int, w: int):
+        key = (ch, cw, h, w)
+        if key not in self._postproc_cache:
+
+            @jax.jit
+            def fn(dct_img):
+                canvas = jnp.zeros((self.channels, h, w), dtype=jnp.float32)
+                canvas = canvas.at[:, :ch, :cw].set(dct_img.astype(jnp.float32))
+                px = idct2(canvas)
+                return ipt_to_rgb(px)
+
+            self._postproc_cache[key] = fn
+        return self._postproc_cache[key]
+
+    def postprocess(self, x: DCTPatches) -> List[np.ndarray]:
+        """Packed (un-normalized) DCT patches -> list of RGB images.
+
+        Zero-pads each reconstructed DCT plane back to the original image size,
+        runs the inverse DCT at that size, and converts IPT -> RGB
+        (reference feature_extraction...py:289-310).
+        """
+        dct_images = self.revert_patching(x)
+        images = []
+        for dct_img, (h, w) in zip(dct_images, x.original_sizes):
+            ih, iw = dct_img.shape[-2:]
+            fn = self._get_postproc_fn(ih, iw, h, w)
+            images.append(np.asarray(fn(dct_img)))
+        return images

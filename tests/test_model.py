@@ -1,0 +1,165 @@
+"""End-to-end model tests: forward, encode/decode, codes roundtrip, save/load."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dct_autoencoder_tpu.models.config import DCTAutoencoderConfig, TransformerConfig
+from dct_autoencoder_tpu.models.autoencoder import DCTAutoencoder
+from dct_autoencoder_tpu.models.factory import (
+    get_max_seq_length,
+    get_model_and_processor,
+    power_of_two,
+)
+from dct_autoencoder_tpu.patches.extractor import DCTAutoencoderFeatureExtractor
+
+
+def tiny_config(vq_type="lfq"):
+    tc = TransformerConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+    )
+    return DCTAutoencoderConfig(
+        image_channels=3,
+        patch_size=4,
+        max_patch_h=8,
+        max_patch_w=8,
+        vq_codebook_size=64,
+        vq_num_codebooks=4,
+        vq_type=vq_type,
+        encoder_config=tc,
+        decoder_config=tc,
+    )
+
+
+def make_batch(proc, rng, n_images=3, size=32):
+    ims = [rng.uniform(0.1, 0.9, size=(3, size, size)).astype(np.float32) for _ in range(n_images)]
+    ds = [proc.preprocess(im) for im in ims]
+    cols = {k: [d[k] for d in ds] for k in ds[0]}
+    return next(proc.iter_batches(iter([cols]), batch_size=None))
+
+
+@pytest.mark.parametrize("vq_type", ["lfq", "vq"])
+def test_forward_shapes(vq_type):
+    cfg = tiny_config(vq_type)
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(0)
+    batch = make_batch(proc, rng)
+    batch = model.normalize_(batch)
+
+    out = model.forward(batch, training=False)
+    rec = out["dct_patches"]
+    assert rec.patches.shape == batch.patches.shape
+    codes = np.asarray(out["codes"])
+    assert codes.shape == (batch.patches.shape[0], batch.patches.shape[1], 4)
+    assert (codes >= 0).all() and (codes < 64).all()
+
+
+def test_decode_from_codes_matches_decode():
+    """Token fidelity: decode_from_codes(codes) must equal decode(encode(x))."""
+    cfg = tiny_config("lfq")
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(1)
+    batch = make_batch(proc, rng)
+    batch = model.normalize_(batch)
+
+    encoded, codes, _, _ = model.encode(batch, training=False)
+    decoded = model.decode(encoded)
+
+    decoded2 = model.decode_from_codes(
+        codes,
+        key_pad_mask=batch.key_pad_mask,
+        attn_mask=batch.attn_mask,
+        batched_image_ids=batch.batched_image_ids,
+        patch_channels=batch.patch_channels,
+        patch_positions=batch.patch_positions,
+        patch_sizes=batch.patch_sizes,
+        original_sizes=batch.original_sizes,
+    )
+    np.testing.assert_allclose(
+        np.asarray(decoded.patches), np.asarray(decoded2.patches), atol=1e-4
+    )
+
+
+def test_pixel_roundtrip_smoke():
+    """Full pipeline: image -> tokens -> model -> pixels, shapes + finite."""
+    cfg = tiny_config("lfq")
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(2)
+    batch = make_batch(proc, rng, n_images=2)
+    nb = model.normalize_(batch)
+    out = model.forward(nb, training=False)
+    un = model.inv_normalize_(out["dct_patches"])
+    images = proc.postprocess(un)
+    assert len(images) == 2
+    for im in images:
+        assert np.isfinite(im).all()
+
+
+def test_training_gradients_finite():
+    cfg = tiny_config("lfq")
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(3)
+    batch = make_batch(proc, rng)
+    batch = model.normalize_(batch)
+
+    def loss_fn(params):
+        out = model.module.apply({"params": params}, batch, training=True)
+        mask = ~batch.key_pad_mask
+        rec = jnp.abs(out["dct_patches"].patches - batch.patches)
+        rec = (rec * mask[..., None]).sum() / mask.sum()
+        ent = model.entropy_loss(out["distances"], mask)
+        return rec + 0.1 * out["commit_loss"] + 0.1 * ent
+
+    loss, grads = jax.value_and_grad(loss_fn)(model.params)
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert sum(float(jnp.abs(g).sum()) for g in flat) > 0.0
+
+
+def test_save_load_roundtrip(tmp_path):
+    cfg = tiny_config("lfq")
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(4)
+    batch = make_batch(proc, rng)
+    batch = model.normalize_(batch)
+    out1 = model.forward(batch, training=False)
+
+    path = os.path.join(tmp_path, "ckpt")
+    model.save_pretrained(path)
+    model2 = DCTAutoencoder.from_pretrained(path)
+    out2 = model2.forward(batch, training=False)
+    np.testing.assert_array_equal(np.asarray(out1["codes"]), np.asarray(out2["codes"]))
+    np.testing.assert_allclose(
+        np.asarray(out1["dct_patches"].patches),
+        np.asarray(out2["dct_patches"].patches),
+        atol=1e-5,
+    )
+
+
+def test_max_seq_length_formula():
+    cfg = tiny_config()
+    # reference factory.py:11-33 with max grid 8*8*3 = 192
+    assert get_max_seq_length(cfg, 0.0) == 192
+    assert get_max_seq_length(cfg, 0.02) == 192  # 150 -> pow2 256 -> capped 192
+    assert get_max_seq_length(cfg, 0.05) == 64  # 60 -> pow2 64
+    assert power_of_two(1) == 1
+    assert power_of_two(3) == 4
+    assert power_of_two(256) == 256
+
+
+def test_attn_bias_parity_mode():
+    """'bias' mode must reproduce the reference's +1-logit-bias behavior."""
+    cfg = tiny_config()
+    cfg.attn_mask_mode = "bias"
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(5)
+    batch = make_batch(proc, rng)
+    batch = model.normalize_(batch)
+    out = model.forward(batch, training=False)
+    assert np.isfinite(np.asarray(out["dct_patches"].patches)).all()
