@@ -1,0 +1,144 @@
+"""Benchmark: patch14-L encode+decode throughput (images/s) on one chip.
+
+Measures the BASELINE.md headline: encode+decode of packed variable-length
+image token streams through the flagship patch14-L autoencoder (two 8-layer
+hidden-1024 CLIP stacks + LFQ 16x8192) in bfloat16, eval mode.
+
+Methodology: synthetic packed batches built with the REAL packing pipeline —
+per-image token counts drawn from TruncExp(beta=0.02) exactly as preprocessing
+does, greedily packed into 256-token rows — so images/batch reflects real
+workload statistics.  Steady-state wall clock over jitted steps; first call
+(compile) excluded.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is against the BASELINE.json north-star of 2000 images/s/chip.
+"""
+import json
+import math
+import random
+import time
+
+import numpy as np
+
+
+def build_packed_batch(cfg, max_seq_len=256, rows=64, beta=0.02, seed=0):
+    """Pack TruncExp-sized fake images into rows with the real packer."""
+    from dct_autoencoder_tpu.patches.packing import (
+        batch_groups,
+        group_patches_by_max_seq_len,
+    )
+
+    rng = random.Random(seed)
+    nprng = np.random.default_rng(seed)
+    items = []
+    sizes = []
+    # generate enough images to fill `rows` rows
+    est_tokens = rows * max_seq_len
+    total = 0
+    while total < est_tokens * 1.05:
+        k = min(max(1, round(-1.0 / beta * math.log(rng.random()))), max_seq_len)
+        patches = nprng.standard_normal((k, cfg.patch_dim)).astype(np.float32)
+        pos = nprng.integers(0, 32, size=(k, 2)).astype(np.int32)
+        ch = nprng.integers(0, 3, size=(k,)).astype(np.int32)
+        items.append((patches, pos, ch))
+        sizes.append((32, 32))
+        total += k
+
+    state = group_patches_by_max_seq_len(items, max_seq_len)
+    groups = state.groups[:rows]
+    n_images = sum(len(g) for g in groups)
+    batch = batch_groups(
+        groups,
+        max_seq_len,
+        patch_sizes=tuple(sizes[:n_images]),
+        original_sizes=tuple((448, 448) for _ in range(n_images)),
+    )
+    return batch, n_images
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dct_autoencoder_tpu.models.autoencoder import DCTAutoencoderModule
+    from dct_autoencoder_tpu.models.config import DCTAutoencoderConfig
+
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = DCTAutoencoderConfig.from_json_file(os.path.join(here, "conf", "patch14-l.json"))
+    module = DCTAutoencoderModule(cfg, dtype=jnp.bfloat16)
+
+    rows = int(os.environ.get("BENCH_ROWS", "64"))
+    batch, n_images = build_packed_batch(cfg, max_seq_len=256, rows=rows)
+
+    params = module.init(jax.random.PRNGKey(0), batch, training=False)["params"]
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    # N chained forwards inside ONE jit program: each iteration consumes the
+    # previous reconstruction, so nothing can be cached or overlapped, and
+    # per-call tunnel/dispatch overhead is excluded.  Sync is a scalar fetch
+    # (np.asarray on the checksum) — block_until_ready alone is not a reliable
+    # barrier on the axon remote backend.
+    def chain(params, batch, n):
+        def body(_, patches):
+            out = module.apply(
+                {"params": params}, batch.replace(patches=patches), training=False
+            )
+            return out["dct_patches"].patches.astype(jnp.float32)
+
+        final = jax.lax.fori_loop(0, n, body, batch.patches)
+        return jnp.sum(final)
+
+    import functools
+
+    chain1 = jax.jit(functools.partial(chain, n=1))
+    chainN = jax.jit(functools.partial(chain, n=n_iters))
+
+    # compile + warmup both programs
+    float(np.asarray(chain1(params, batch)))
+    float(np.asarray(chainN(params, batch)))
+
+    # time the N-iteration program; subtract one-iteration program time to
+    # remove the fixed dispatch cost
+    t0 = time.perf_counter()
+    sN = float(np.asarray(chainN(params, batch)))
+    dtN = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s1 = float(np.asarray(chain1(params, batch)))
+    dt1 = time.perf_counter() - t0
+    assert np.isfinite(sN) and np.isfinite(s1)
+    dt = max(dtN - dt1, 1e-9)
+    n_iters = n_iters - 1
+
+    sec_per_batch = dt / n_iters
+    images_per_sec = n_images / sec_per_batch
+
+    # rough FLOP accounting for context (two stacks, 16 layers total)
+    tokens = batch.patches.shape[0] * batch.patches.shape[1]
+    enc = cfg.encoder_config
+    per_layer = 4 * enc.hidden_size**2 + 2 * enc.hidden_size * enc.intermediate_size
+    n_layers = enc.num_hidden_layers + cfg.decoder_config.num_hidden_layers
+    flops = 2 * tokens * per_layer * n_layers
+    tflops = flops / sec_per_batch / 1e12
+
+    result = {
+        "metric": "patch14l_encode_decode_throughput",
+        "value": round(images_per_sec, 1),
+        "unit": "images/s/chip",
+        "vs_baseline": round(images_per_sec / 2000.0, 3),
+    }
+    print(json.dumps(result))
+    import sys
+
+    print(
+        f"# rows={rows} images/batch={n_images} sec/batch={sec_per_batch * 1e3:.1f}ms "
+        f"~{tflops:.1f} TFLOP/s model-matmul",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,249 @@
+"""Training loop: optimizer, sharded train step, calibration, checkpoints.
+
+TPU-native port of the reference trainer (reference: main.py:115-280):
+  * optax AdamW(0.9, 0.99, wd 0.1) + cosine schedule with 200 warmup steps +
+    global-norm clip 5.0 (replaces PagedAdamW8bit + HF scheduler +
+    accelerator.clip_grad_norm_, main.py:420-427, 242-244; 8-bit paging is a
+    CUDA workaround with no TPU counterpart);
+  * the whole train step (fwd + bwd + update) is ONE jit-compiled program over
+    a (data, model) mesh — gradient all-reduce is XLA-inserted, replacing
+    Accelerate DDP (main.py:429-434);
+  * norm-calibration phase with beta forced to 0 / full sequences
+    (main.py:388-404);
+  * grad accumulation, NaN abort, metric logging hooks.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.autoencoder import DCTAutoencoder, DCTAutoencoderModule
+from ..models.patchnorm import PatchNormState, apply_patchnorm, calibrate_patchnorm_batch
+from ..parallel.mesh import (
+    Mesh,
+    batch_sharding,
+    make_mesh,
+    param_sharding,
+    replicated,
+)
+from ..patches.container import DCTPatches
+from ..patches.extractor import DCTAutoencoderFeatureExtractor
+from .losses import step_autoencoder, weighted_total
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @staticmethod
+    def create(params: Any, tx: optax.GradientTransformation) -> "TrainState":
+        return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def make_optimizer(
+    learning_rate: float = 1e-4,
+    max_iters: int = 10000,
+    warmup_steps: int = 200,
+    weight_decay: float = 0.1,
+    b1: float = 0.9,
+    b2: float = 0.99,
+    grad_clip: float = 5.0,
+) -> optax.GradientTransformation:
+    """AdamW + warmup-cosine + clip (reference main.py:420-427, 242-244)."""
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=learning_rate,
+        warmup_steps=warmup_steps,
+        decay_steps=max_iters,
+        end_value=0.0,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
+    )
+
+
+def make_train_step(
+    module: DCTAutoencoderModule,
+    tx: optax.GradientTransformation,
+    loss_weights: Optional[Dict[str, float]] = None,
+    warmup_dict: Optional[Dict[str, int]] = None,
+    accum_steps: int = 1,
+) -> Callable:
+    """Build the pure train-step fn (state, patchnorm, batch) -> (state, metrics).
+
+    The batch arrives already normalized is NOT assumed: normalization is done
+    inside the step (frozen patchnorm), so one jit program covers
+    normalize -> forward -> losses -> backward -> update.
+    """
+
+    def loss_fn(params, patchnorm, batch, step):
+        normalized = batch.replace(patches=apply_patchnorm(patchnorm, batch))
+        losses = step_autoencoder(module, params, patchnorm, batch, normalized, training=True)
+        total = weighted_total(losses, loss_weights, warmup_dict, step.astype(jnp.float32))
+        metrics = {k: v for k, v in losses.items() if k not in ("codes", "rec_patches")}
+        metrics["loss"] = total
+        return total, metrics
+
+    def train_step(state: TrainState, patchnorm: PatchNormState, batch: DCTPatches):
+        if accum_steps == 1:
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, patchnorm, batch, state.step
+            )
+        else:
+            # micro-batch over the leading axis with a scan: grads averaged
+            b = batch.patches.shape[0]
+            mb = b // accum_steps
+
+            def micro(i):
+                sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * mb, mb, axis=0)
+                micro_batch = jax.tree_util.tree_map(sl, batch)
+                return jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, patchnorm, micro_batch, state.step
+                )
+
+            def body(carry, i):
+                (gacc, macc) = carry
+                (_, metrics), grads = micro(i)
+                gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+                macc = jax.tree_util.tree_map(jnp.add, macc, metrics)
+                return (gacc, macc), None
+
+            (_, m0), g0 = micro(0)
+            (grads, msum), _ = jax.lax.scan(body, (g0, m0), jnp.arange(1, accum_steps))
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+            metrics = jax.tree_util.tree_map(lambda m: m / accum_steps, msum)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def jit_train_step(
+    train_step: Callable,
+    mesh: Mesh,
+    params_example: Any,
+    tensor_parallel: bool = True,
+) -> Callable:
+    """jit the train step over the mesh with explicit input shardings.
+
+    The TrainState sharding is inferred from how its arrays were placed
+    (`shard_params` for TP layouts); batch rows ride the data axis.  XLA
+    inserts the gradient all-reduce / TP collectives.
+    """
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(train_step, in_shardings=(None, rep, bsh), donate_argnums=(0,))
+
+
+def train_patch_norm(
+    model: DCTAutoencoder,
+    proc: DCTAutoencoderFeatureExtractor,
+    data_iter: Iterable[dict],
+    steps: int = 10,
+    batch_size: int = 32,
+    log: Callable[[str], None] = print,
+) -> PatchNormState:
+    """Norm-calibration phase (reference main.py:115-149, 388-404).
+
+    Temporarily forces beta=0 (keep every patch) and max_seq_len to the full
+    lossless grid so calibration sees unbiased per-position statistics.
+    """
+    og_beta, og_max = proc.sample_patches_beta, proc.max_seq_len
+    proc.sample_patches_beta = 0.0
+    proc.max_seq_len = proc.max_patch_h * proc.max_patch_w * proc.channels
+
+    state = model.patchnorm
+    try:
+        for i, batch in enumerate(proc.iter_batches(data_iter, batch_size)):
+            if i >= steps:
+                break
+            state, out = calibrate_patchnorm_batch(state, batch)
+            valid = ~np.asarray(batch.key_pad_mask)
+            vals = np.asarray(out)[valid]
+            log(
+                f"norm calib {i + 1:03d} median {np.median(vals):+.3f} "
+                f"std {vals.std():.3f} min {vals.min():+.2f} max {vals.max():+.2f}"
+            )
+    finally:
+        proc.sample_patches_beta = og_beta
+        proc.max_seq_len = og_max
+    model.patchnorm = state
+    return state
+
+
+def train(
+    model: DCTAutoencoder,
+    proc: DCTAutoencoderFeatureExtractor,
+    data_iter: Iterable[dict],
+    batch_size: int = 32,
+    learning_rate: float = 1e-4,
+    max_iters: int = 10000,
+    grad_accumulation_steps: int = 1,
+    loss_weights: Optional[Dict[str, float]] = None,
+    warmup_dict: Optional[Dict[str, int]] = None,
+    n_model_parallel: int = 1,
+    log_every: int = 50,
+    save_every: int = 1000,
+    out_dir: Optional[str] = None,
+    log: Callable[[Dict], None] = print,
+) -> Tuple[DCTAutoencoder, TrainState]:
+    """Main training loop (reference main.py:151-280)."""
+    tx = make_optimizer(learning_rate, max_iters)
+    state = TrainState.create(model.params, tx)
+    mesh = make_mesh(n_model_parallel)
+
+    step_fn = make_train_step(
+        model.module, tx, loss_weights, warmup_dict, grad_accumulation_steps
+    )
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    with mesh:
+        jitted = jax.jit(step_fn, in_shardings=(None, rep, bsh), donate_argnums=(0,))
+
+        t0 = time.time()
+        for i, batch in enumerate(proc.iter_batches(data_iter, batch_size)):
+            if i >= max_iters:
+                break
+            state, metrics = jitted(state, model.patchnorm, batch)
+
+            if i % log_every == 0:
+                metrics = {
+                    k: float(v) for k, v in metrics.items() if np.ndim(v) == 0
+                }
+                loss = metrics["loss"]
+                if not np.isfinite(loss):
+                    # NaN abort (reference main.py:267-269)
+                    log({"step": i, "error": "NAN LOSS — aborting"})
+                    break
+                metrics.update(
+                    step=i,
+                    sec_per_step=(time.time() - t0) / max(i, 1),
+                    images_per_batch=len(batch.original_sizes),
+                )
+                log(metrics)
+
+            if out_dir and save_every and i > 0 and i % save_every == 0:
+                model.params = state.params
+                model.save_pretrained(f"{out_dir}/model")
+
+    model.params = state.params
+    if out_dir:
+        model.save_pretrained(f"{out_dir}/model")
+    return model, state

@@ -1,0 +1,114 @@
+"""Training-step + loss tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dct_autoencoder_tpu.models.factory import get_model_and_processor
+from dct_autoencoder_tpu.models.patchnorm import calibrate_patchnorm_batch
+from dct_autoencoder_tpu.train.loop import (
+    TrainState,
+    make_optimizer,
+    make_train_step,
+    train_patch_norm,
+)
+from dct_autoencoder_tpu.train.losses import (
+    masked_l1,
+    step_autoencoder,
+    weighted_total,
+)
+
+from test_model import make_batch, tiny_config
+
+
+def setup_model(vq_type="lfq"):
+    cfg = tiny_config(vq_type)
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(0)
+    batch = make_batch(proc, rng, n_images=4)
+    model.patchnorm, _ = calibrate_patchnorm_batch(model.patchnorm, batch)
+    return model, proc, batch
+
+
+def test_masked_l1():
+    pred = jnp.ones((1, 4, 3)) * 2.0
+    target = jnp.zeros((1, 4, 3))
+    mask = jnp.asarray([[True, True, False, False]])
+    got = float(masked_l1(pred, target, mask))
+    np.testing.assert_allclose(got, 2.0, rtol=1e-6)
+
+
+def test_step_autoencoder_losses():
+    model, proc, batch = setup_model()
+    nb = model.normalize_(batch)
+    losses = step_autoencoder(model.module, model.params, model.patchnorm, batch, nb)
+    for k in ["rec_loss", "rec_loss_unnormalized", "commit_loss", "entropy_loss", "perplexity"]:
+        assert k in losses
+        assert np.isfinite(float(losses[k])), k
+    assert float(losses["rec_loss"]) > 0
+    assert float(losses["perplexity"]) >= 1.0
+
+
+def test_weighted_total_warmup():
+    losses = {"rec_loss": jnp.asarray(1.0), "commit_loss": jnp.asarray(1.0)}
+    # warmup 10 steps on commit: at step 4 -> weight * 5/10
+    total = weighted_total(
+        losses,
+        loss_weights={"rec_loss": 1.0, "commit_loss": 1.0},
+        warmup_dict={"commit_loss": 10},
+        global_step=jnp.asarray(4.0),
+    )
+    np.testing.assert_allclose(float(total), 1.0 + 0.5, rtol=1e-6)
+
+
+def test_train_step_reduces_loss():
+    model, proc, batch = setup_model()
+    tx = make_optimizer(learning_rate=3e-3, max_iters=100, warmup_steps=0)
+    state = TrainState.create(model.params, tx)
+    step = jax.jit(make_train_step(model.module, tx))
+
+    losses = []
+    for _ in range(12):
+        state, metrics = step(state, model.patchnorm, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 12
+
+
+def test_train_step_grad_accumulation_matches():
+    model, proc, batch = setup_model()
+    tx = make_optimizer(learning_rate=1e-3, max_iters=100, warmup_steps=0)
+
+    s1 = TrainState.create(model.params, tx)
+    step1 = jax.jit(make_train_step(model.module, tx, accum_steps=1))
+    s1, m1 = step1(s1, model.patchnorm, batch)
+
+    s2 = TrainState.create(model.params, tx)
+    step2 = jax.jit(make_train_step(model.module, tx, accum_steps=2))
+    s2, m2 = step2(s2, model.patchnorm, batch)
+
+    # different micro-batching, same data -> grads close but not identical
+    # (loss is per-token mean within micro-batch); check same order of magnitude
+    assert np.isfinite(float(m2["loss"]))
+    g1 = float(m1["grad_norm"])
+    g2 = float(m2["grad_norm"])
+    assert 0.2 < g2 / g1 < 5.0
+
+
+def test_train_patch_norm_phase():
+    model, proc, _ = setup_model()
+    rng = np.random.default_rng(1)
+
+    def data_iter():
+        for _ in range(3):
+            ims = [rng.uniform(0.1, 0.9, size=(3, 32, 32)).astype(np.float32) for _ in range(4)]
+            ds = [proc.preprocess(im) for im in ims]
+            yield {k: [d[k] for d in ds] for k in ds[0]}
+
+    logs = []
+    state = train_patch_norm(model, proc, data_iter(), steps=3, batch_size=None, log=logs.append)
+    assert np.asarray(state.n).max() > 0
+    assert len(logs) == 3
+    # processor settings restored
+    assert proc.sample_patches_beta == 0.0
+    assert proc.max_seq_len == 8 * 8 * 3
