@@ -1,0 +1,21 @@
+from .shards import ShardWriter, WebDatasetReader, expand_urls, iter_tar_samples, decode_sample
+from .dataset import (
+    batched,
+    dict_collate,
+    load_and_transform_dataset,
+    load_preprocessed_dataset,
+    tuple_collate,
+)
+
+__all__ = [
+    "ShardWriter",
+    "WebDatasetReader",
+    "expand_urls",
+    "iter_tar_samples",
+    "decode_sample",
+    "batched",
+    "dict_collate",
+    "load_and_transform_dataset",
+    "load_preprocessed_dataset",
+    "tuple_collate",
+]

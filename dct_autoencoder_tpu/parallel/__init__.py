@@ -4,6 +4,7 @@ from .mesh import (
     batch_sharding,
     initialize_distributed,
     make_mesh,
+    pad_batch_rows,
     param_sharding,
     param_spec,
     replicated,
@@ -17,6 +18,7 @@ __all__ = [
     "batch_sharding",
     "initialize_distributed",
     "make_mesh",
+    "pad_batch_rows",
     "param_sharding",
     "param_spec",
     "replicated",

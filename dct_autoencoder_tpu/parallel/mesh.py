@@ -53,6 +53,29 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def pad_batch_rows(batch: Any, multiple: int) -> Any:
+    """Right-pad packed rows so the leading axis divides the data-axis size.
+
+    Padding rows are fully masked (key_pad_mask True, empty attention), so
+    they contribute nothing to masked losses/statistics.
+    """
+    import jax.numpy as jnp
+
+    b = batch.patches.shape[0]
+    pad_rows = (-b) % multiple
+    if pad_rows == 0:
+        return batch
+
+    def pad(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        widths = [(0, pad_rows)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
+    padded = jax.tree_util.tree_map(pad, batch)
+    return padded.replace(key_pad_mask=padded.key_pad_mask.at[b:].set(True))
+
+
 # Tensor-parallel layout for the CLIP transformer stacks: column-parallel
 # q/k/v + fc1, row-parallel out_proj + fc2 (Megatron-style); XLA inserts the
 # single all-reduce per block.  Everything else is replicated.

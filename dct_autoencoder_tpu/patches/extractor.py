@@ -177,13 +177,22 @@ class DCTAutoencoderFeatureExtractor:
 
     # --------------------------------------------------------------- batches
 
-    def iter_batches(self, dataloader: Iterable, batch_size: Optional[int] = None):
+    def iter_batches(
+        self,
+        dataloader: Iterable,
+        batch_size: Optional[int] = None,
+        drain: bool = False,
+    ):
         """Greedy-pack a stream of per-image dicts into DCTPatches batches.
 
         Same contract as the reference (feature_extraction...py:179-287):
         `dataloader` yields dicts of lists (column -> per-image values);
         leftover open rows are carried across pulls.  With batch_size None,
         every pull is flushed into a single batch.
+
+        drain=True additionally flushes the packing state when the stream
+        ends (final batches may have fewer rows) — the reference silently
+        drops the tail, which loses data in finite export jobs.
         """
         state: Optional[GroupPatchesState] = None
         cum_original_sizes: List[Tuple[int, int]] = []
@@ -195,6 +204,32 @@ class DCTAutoencoderFeatureExtractor:
             try:
                 dict_data = next(dataloader)
             except StopIteration:
+                if drain and state is not None:
+                    if state.group:
+                        state.groups.append(state.group)
+                        state.group = []
+                        state.seq_len = 0
+                    while state.groups:
+                        take = state.groups[: batch_size or len(state.groups)]
+                        state.groups = state.groups[len(take) :]
+                        n_items = sum(len(g) for g in take)
+                        take_orig, cum_original_sizes = (
+                            cum_original_sizes[:n_items],
+                            cum_original_sizes[n_items:],
+                        )
+                        take_patch, cum_patch_sizes = (
+                            cum_patch_sizes[:n_items],
+                            cum_patch_sizes[n_items:],
+                        )
+                        take_data = {k: v[:n_items] for k, v in cum_data.items()}
+                        cum_data = {k: v[n_items:] for k, v in cum_data.items()}
+                        yield batch_groups(
+                            take,
+                            self.max_seq_len,
+                            patch_sizes=tuple(take_patch),
+                            original_sizes=tuple(take_orig),
+                            _data=take_data or None,
+                        )
                 return
 
             patches = dict_data["patches"]
@@ -263,7 +298,11 @@ class DCTAutoencoderFeatureExtractor:
         """
         p = self.patch_size
         c = self.channels
-        H, W = self.max_patch_h, self.max_patch_w
+        # canvas must cover the largest patch grid in the batch: images bigger
+        # than the max grid keep their full (ph, pw) canvas with zeros outside
+        # the kept region (reference feature_extraction...py:633-637)
+        H = max([self.max_patch_h] + [ph for ph, _ in output.patch_sizes])
+        W = max([self.max_patch_w] + [pw for _, pw in output.patch_sizes])
 
         tokens = np.asarray(output.patches)
         ids = np.asarray(output.batched_image_ids)

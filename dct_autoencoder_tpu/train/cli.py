@@ -1,0 +1,168 @@
+"""Training CLI (reference: main.py:283-461).
+
+Usage:
+  python -m dct_autoencoder_tpu.train.cli \
+      --image_dataset_path_or_url 'shards/{000000..000009}.tar' \
+      --model_config_path conf/patch14-l.json --batch_size 32
+
+All reference flags are kept; wandb is replaced by JSONL metric logging plus
+periodic side-by-side image grids (out/<timestamp>/).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime
+import json
+import os
+import random
+from typing import Optional
+
+import numpy as np
+
+from ..data.dataset import batched, load_and_transform_dataset, load_preprocessed_dataset
+from ..models.config import DCTAutoencoderConfig
+from ..models.factory import get_model_and_processor
+from ..train.loop import train, train_patch_norm
+from ..train.losses import DEFAULT_LOSS_WEIGHTS
+
+
+def create_output_directory(base: str = "out") -> str:
+    name = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    path = os.path.join(os.getcwd(), base, name)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def main(
+    image_dataset_path_or_url: Optional[str] = None,
+    preprocessed_dataset_path_or_url: Optional[str] = None,
+    model_config_path: str = "./conf/patch14-l.json",
+    model_resume_path: Optional[str] = None,
+    dtype: str = "bfloat16",
+    batch_size: int = 32,
+    train_norm_iters: int = 10,
+    max_iters: int = 10000,
+    sample_patches_beta: float = 0.02,
+    learning_rate: float = 1e-4,
+    seed: int = 42,
+    log_every: int = 200,
+    save_every: int = 1000,
+    grad_accumulation_steps: int = 1,
+    n_model_parallel: int = 1,
+    rec_loss_unnormalized: float = 1.0,
+    rec_loss: float = 0.1,
+    commit_loss: float = 0.1,
+    entropy_loss: float = 0.1,
+    should_save: bool = True,
+    out_base: str = "out",
+):
+    import jax.numpy as jnp
+
+    model_config = DCTAutoencoderConfig.from_json_file(model_config_path)
+    loss_weights = dict(
+        rec_loss=rec_loss,
+        rec_loss_unnormalized=rec_loss_unnormalized,
+        commit_loss=commit_loss,
+        entropy_loss=entropy_loss,
+    )
+
+    random.seed(seed)
+    np.random.seed(seed)
+
+    jdtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
+    model, processor = get_model_and_processor(
+        model_config, dtype=jdtype, sample_patches_beta=sample_patches_beta,
+        resume_path=model_resume_path, seed=seed,
+    )
+    processor.rng = random.Random(seed)
+
+    def make_data():
+        if image_dataset_path_or_url is not None:
+            return load_and_transform_dataset(
+                image_dataset_path_or_url, processor, shuffle_buffer=1000, seed=seed
+            )
+        assert preprocessed_dataset_path_or_url is not None, (
+            "pass --image_dataset_path_or_url or --preprocessed_dataset_path_or_url"
+        )
+        return load_preprocessed_dataset(
+            preprocessed_dataset_path_or_url, shuffle_buffer=1000, seed=seed
+        )
+
+    out_dir = create_output_directory(out_base) if should_save else None
+    run_info = dict(
+        sample_patches_beta=sample_patches_beta,
+        max_seq_len=processor.max_seq_len,
+        learning_rate=learning_rate,
+        n_params=model.n_params,
+        grad_accumulation_steps=grad_accumulation_steps,
+        patch_size=model_config.patch_size,
+        vq_num_codebooks=model_config.vq_num_codebooks,
+        vq_codebook_size=model_config.vq_codebook_size,
+        **loss_weights,
+    )
+    print("starting run:", run_info)
+
+    metrics_path = os.path.join(out_dir, "metrics.jsonl") if out_dir else None
+
+    def log(d):
+        print(d)
+        if metrics_path and isinstance(d, dict):
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps({k: v for k, v in d.items() if not hasattr(v, "shape")}) + "\n")
+
+    # ----------- Norm calibration phase (reference main.py:388-404) --------
+    if train_norm_iters > 0:
+        print("training norm")
+        train_patch_norm(
+            model,
+            processor,
+            batched(make_data(), min(batch_size, 32)),
+            steps=train_norm_iters,
+            batch_size=min(batch_size, 32),
+        )
+        print("done training norm")
+
+    # --------------------------- Main training ----------------------------
+    model, state = train(
+        model,
+        processor,
+        batched(make_data(), batch_size),
+        batch_size=batch_size,
+        learning_rate=learning_rate,
+        max_iters=max_iters,
+        grad_accumulation_steps=grad_accumulation_steps,
+        loss_weights=loss_weights,
+        n_model_parallel=n_model_parallel,
+        log_every=log_every,
+        save_every=save_every,
+        out_dir=out_dir,
+        log=log,
+    )
+
+    if out_dir:
+        model.save_pretrained(os.path.join(out_dir, "model"))
+        print("saved", out_dir)
+    print("done with all training")
+    return model
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    import inspect
+
+    sig = inspect.signature(main)
+    for name, param in sig.parameters.items():
+        default = param.default
+        if default is None:
+            p.add_argument(f"--{name}", type=str, default=None)
+        elif isinstance(default, bool):
+            p.add_argument(f"--{name}", type=lambda v: v.lower() in ("1", "true", "yes"), default=default)
+        else:
+            p.add_argument(f"--{name}", type=type(default), default=default)
+    return p
+
+
+if __name__ == "__main__":
+    args = _build_parser().parse_args()
+    main(**vars(args))

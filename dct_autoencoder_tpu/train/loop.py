@@ -30,6 +30,7 @@ from ..parallel.mesh import (
     Mesh,
     batch_sharding,
     make_mesh,
+    pad_batch_rows,
     param_sharding,
     replicated,
 )
@@ -60,11 +61,12 @@ def make_optimizer(
     grad_clip: float = 5.0,
 ) -> optax.GradientTransformation:
     """AdamW + warmup-cosine + clip (reference main.py:420-427, 242-244)."""
+    warmup_steps = min(warmup_steps, max(max_iters - 1, 0))
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=learning_rate,
         warmup_steps=warmup_steps,
-        decay_steps=max_iters,
+        decay_steps=max(max_iters, warmup_steps + 1),
         end_value=0.0,
     )
     return optax.chain(
@@ -218,9 +220,11 @@ def train(
         jitted = jax.jit(step_fn, in_shardings=(None, rep, bsh), donate_argnums=(0,))
 
         t0 = time.time()
+        n_data = mesh.shape["data"]
         for i, batch in enumerate(proc.iter_batches(data_iter, batch_size)):
             if i >= max_iters:
                 break
+            batch = pad_batch_rows(batch, n_data)
             state, metrics = jitted(state, model.patchnorm, batch)
 
             if i % log_every == 0:
