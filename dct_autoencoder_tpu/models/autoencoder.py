@@ -36,7 +36,7 @@ from .patchnorm import (
     apply_patchnorm,
     inverse_patchnorm,
 )
-from .transformer import TransformerEncoder, make_attn_bias
+from .transformer import AttentionContext, TransformerEncoder
 from .vq import VectorQuantize
 
 
@@ -112,8 +112,8 @@ class DCTAutoencoderModule(nn.Module):
         feats = self.patch_embed_norm(self.patch_embed_linear(x.patches.astype(self.dtype)))
         feats = feats + self._pos_embedding("encoder", x)
 
-        attn_bias = make_attn_bias(x.attn_mask, self.config.attn_mask_mode)
-        feats = self.encoder(feats, attn_bias)
+        attn = self._attn_context(x)
+        feats = self.encoder(feats, attn)
 
         mask = ~x.key_pad_mask
         if self.config.vq_type == "vq":
@@ -125,11 +125,18 @@ class DCTAutoencoderModule(nn.Module):
             )
         return x.replace(patches=feats), codes, commit_loss, distances
 
+    def _attn_context(self, x: DCTPatches) -> AttentionContext:
+        return AttentionContext(
+            image_ids=x.batched_image_ids,
+            key_pad_mask=x.key_pad_mask,
+            mode=self.config.attn_mask_mode,
+            impl=self.config.attention_impl,
+        )
+
     def decode(self, x: DCTPatches) -> DCTPatches:
         """Quantized features -> DCT patch predictions (reference modeling...py:165-178)."""
         feats = x.patches.astype(self.dtype) + self._pos_embedding("decoder", x)
-        attn_bias = make_attn_bias(x.attn_mask, self.config.attn_mask_mode)
-        feats = self.decoder(feats, attn_bias)
+        feats = self.decoder(feats, self._attn_context(x))
         feats = self.proj_out_linear(self.proj_out_norm(feats))
         return x.replace(patches=feats)
 

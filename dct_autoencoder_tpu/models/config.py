@@ -57,6 +57,8 @@ class DCTAutoencoderConfig:
     # the logits (reference modeling_dct_autoencoder.py:143-147 passes a bool
     # mask where HF CLIP expects an additive float mask).
     attn_mask_mode: str = "block"
+    # attention kernel: 'auto' (pallas on TPU, xla elsewhere) | 'pallas' | 'xla'
+    attention_impl: str = "auto"
 
     def __post_init__(self):
         if isinstance(self.encoder_config, dict):

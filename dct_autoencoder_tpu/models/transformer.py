@@ -7,33 +7,72 @@ transplants map 1:1), quick-gelu MLP.  Attention logits and softmax run in
 float32 regardless of the compute dtype; matmuls target the MXU in the
 caller's dtype (bfloat16 for training/serving).
 
-Masking: callers pass an additive float bias `attn_bias` of shape
-(b, 1, s, s) built by `make_attn_bias`.  The default 'block' mode applies the
-packed block-diagonal mask properly (large negative outside the allowed
-block).  'bias' mode replicates the reference's *effective* behavior — HF CLIP
-adds the boolean mask to the logits, i.e. a +1.0 logit bias inside the block
-and 0 outside (see the reference's open TODO at modeling...py:143-144).
+Masking is derived from packing metadata (per-token image ids + padding), not
+from a materialized (b, 1, s, s) mask tensor (which the reference builds at
+feature_extraction...py:580-584 and ships through every layer).  Two
+implementations:
+  * 'pallas' — fused packed flash-attention kernel (kernels/attention.py);
+    the mask never exists in memory;
+  * 'xla'    — einsum attention with an additive bias built from the ids.
+'auto' picks pallas on TPU backends.
+
+Mask semantics ('block' vs the reference-parity 'bias' mode) are documented in
+models/config.py.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..kernels.attention import packed_flash_attention
 from .config import TransformerConfig
 
 NEG_INF = -1e9
 
 
-def make_attn_bias(attn_mask: jnp.ndarray, mode: str = "block") -> jnp.ndarray:
-    """(b, 1, s, s) bool allowed-mask -> additive float32 logit bias."""
-    if mode == "block":
-        return jnp.where(attn_mask, 0.0, NEG_INF).astype(jnp.float32)
-    if mode == "bias":
-        return attn_mask.astype(jnp.float32)
-    raise ValueError(f"unknown attn mask mode: {mode}")
+@dataclasses.dataclass(frozen=True)
+class AttentionContext:
+    """Packing metadata driving the attention mask."""
+
+    image_ids: jnp.ndarray  # (b, s) int
+    key_pad_mask: jnp.ndarray  # (b, s) bool, True where padding
+    mode: str = "block"  # 'block' | 'bias' (see config.attn_mask_mode)
+    impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
+
+    def resolved_impl(self, seq_len: Optional[int] = None) -> str:
+        if self.impl != "auto":
+            return self.impl
+        if jax.default_backend() != "tpu":
+            return "xla"
+        # measured crossover on v5e: XLA's fused attention edges out the
+        # kernel at s=256 (5.5 vs 5.9 ms) while the kernel wins 1.3x at 1024
+        # and 2.2x at 3072 (where XLA materializes (b,h,s,s) logits in HBM)
+        if seq_len is not None and seq_len < 512:
+            return "xla"
+        return "pallas"
+
+    def xla_bias(self) -> jnp.ndarray:
+        """(b, 1, s, s) additive float32 bias (same semantics as the packed
+        block-diagonal mask (ids_i == ids_j) & ~pad_j)."""
+        ids = self.image_ids
+        allowed = (ids[:, None, :, None] == ids[:, None, None, :]) & (
+            ~self.key_pad_mask[:, None, None, :]
+        )
+        if self.mode == "bias":
+            return allowed.astype(jnp.float32)
+        return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
+
+
+# pytree registration so AttentionContext flows through jit without becoming static
+jax.tree_util.register_dataclass(
+    AttentionContext,
+    data_fields=["image_ids", "key_pad_mask"],
+    meta_fields=["mode", "impl"],
+)
 
 
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -52,7 +91,7 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray]) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, attn: AttentionContext) -> jnp.ndarray:
         cfg = self.config
         d = cfg.hidden_size
         h = cfg.num_attention_heads
@@ -60,7 +99,7 @@ class MultiHeadAttention(nn.Module):
         scale = head_dim**-0.5
 
         dense = lambda name: nn.Dense(d, dtype=self.dtype, name=name)
-        q = dense("q_proj")(x) * scale
+        q = dense("q_proj")(x)
         k = dense("k_proj")(x)
         v = dense("v_proj")(x)
 
@@ -68,12 +107,19 @@ class MultiHeadAttention(nn.Module):
         split = lambda t: t.reshape(b, s, h, head_dim).transpose(0, 2, 1, 3)
         q, k, v = split(q), split(k), split(v)
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        if attn_bias is not None:
-            logits = logits + attn_bias  # (b, 1, s, s) broadcasts over heads
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
+        if attn.resolved_impl(s) == "pallas":
+            out = packed_flash_attention(
+                q, k, v, attn.image_ids, attn.key_pad_mask, scale, mode=attn.mode
+            )
+        else:
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            logits = logits + attn.xla_bias()
+            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+        out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, s, d)
         return dense("out_proj")(out)
 
 
@@ -82,14 +128,14 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray]) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, attn: AttentionContext) -> jnp.ndarray:
         cfg = self.config
         act = _ACTS[cfg.hidden_act]
         ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name=name)
 
         residual = x
         x = ln("layer_norm1")(x)
-        x = MultiHeadAttention(cfg, dtype=self.dtype, name="self_attn")(x, attn_bias)
+        x = MultiHeadAttention(cfg, dtype=self.dtype, name="self_attn")(x, attn)
         x = residual + x
 
         residual = x
@@ -107,7 +153,20 @@ class TransformerEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray]) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, attn: AttentionContext) -> jnp.ndarray:
         for i in range(self.config.num_hidden_layers):
-            x = EncoderLayer(self.config, dtype=self.dtype, name=f"layers_{i}")(x, attn_bias)
+            x = EncoderLayer(self.config, dtype=self.dtype, name=f"layers_{i}")(x, attn)
         return x
+
+
+def make_attn_bias(attn_mask: jnp.ndarray, mode: str = "block") -> jnp.ndarray:
+    """(b, 1, s, s) bool allowed-mask -> additive float32 logit bias.
+
+    Retained for API parity with callers holding an explicit mask; the model
+    itself now derives masking from packing metadata (AttentionContext).
+    """
+    if mode == "block":
+        return jnp.where(attn_mask, 0.0, NEG_INF).astype(jnp.float32)
+    if mode == "bias":
+        return attn_mask.astype(jnp.float32)
+    raise ValueError(f"unknown attn mask mode: {mode}")

@@ -1,0 +1,127 @@
+"""Pallas kernel tests (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dct_autoencoder_tpu.kernels.attention import (
+    _reference_attention,
+    packed_flash_attention,
+)
+
+
+def make_inputs(b=2, h=4, s=128, d=32, n_img=3, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    ids = np.sort(rng.integers(0, n_img, size=(b, s))).astype(np.int32)
+    lengths = rng.integers(s // 2, s, size=(b,))
+    pad = np.arange(s)[None, :] >= lengths[:, None]
+    return (
+        jnp.asarray(q),
+        jnp.asarray(k),
+        jnp.asarray(v),
+        jnp.asarray(ids),
+        jnp.asarray(pad),
+    )
+
+
+@pytest.mark.parametrize("mode", ["block", "bias"])
+def test_flash_matches_reference(mode):
+    q, k, v, ids, pad = make_inputs()
+    scale = 32**-0.5
+    got = packed_flash_attention(q, k, v, ids, pad, scale, mode=mode, interpret=True)
+    kv_ids = jnp.where(pad, -1, ids)
+    q_ids = jnp.where(pad, -2, ids)
+    want = _reference_attention(q, k, v, q_ids, kv_ids, scale, mode)
+    valid = ~np.asarray(pad)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :, :, :].transpose(0, 2, 1, 3)[valid],
+        np.asarray(want).transpose(0, 2, 1, 3)[valid],
+        atol=2e-5,
+    )
+
+
+def test_flash_respects_block_structure():
+    """A token's output must depend only on same-image tokens."""
+    q, k, v, ids, pad = make_inputs(b=1, h=2, s=128, d=16, n_img=2, seed=1)
+    scale = 16**-0.5
+    base = packed_flash_attention(q, k, v, ids, pad, scale, interpret=True)
+
+    # perturb values of image-1 tokens; image-0 outputs must not move
+    ids_np = np.asarray(ids)[0]
+    pad_np = np.asarray(pad)[0]
+    img1 = (ids_np == 1) & ~pad_np
+    v2 = np.asarray(v).copy()
+    v2[:, :, img1, :] += 100.0
+    out2 = packed_flash_attention(q, k, jnp.asarray(v2), ids, pad, scale, interpret=True)
+
+    img0 = (ids_np == 0) & ~pad_np
+    np.testing.assert_allclose(
+        np.asarray(base)[0, :, img0, :], np.asarray(out2)[0, :, img0, :], atol=1e-5
+    )
+    # sanity: image-1 outputs did move
+    assert np.abs(np.asarray(base)[0, :, img1, :] - np.asarray(out2)[0, :, img1, :]).max() > 1
+
+
+def test_flash_padded_queries_zero():
+    q, k, v, ids, pad = make_inputs(seed=2)
+    out = packed_flash_attention(q, k, v, ids, pad, 32**-0.5, interpret=True)
+    padded = np.asarray(pad)
+    got = np.asarray(out).transpose(0, 2, 1, 3)[padded]
+    np.testing.assert_allclose(got, 0.0, atol=1e-6)
+
+
+def test_flash_gradients_match_reference():
+    q, k, v, ids, pad = make_inputs(b=1, h=2, s=128, d=16, seed=3)
+    scale = 16**-0.5
+
+    def loss_pallas(q, k, v):
+        o = packed_flash_attention(q, k, v, ids, pad, scale, interpret=True)
+        return jnp.sum(o**2)
+
+    kv_ids = jnp.where(pad, -1, ids)
+    q_ids = jnp.where(pad, -2, ids)
+
+    def loss_ref(q, k, v):
+        o = _reference_attention(q, k, v, q_ids, kv_ids, scale, "block")
+        valid = ~pad
+        o = o * valid[:, None, :, None]
+        return jnp.sum(o**2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+
+def test_model_forward_pallas_vs_xla():
+    """Whole-model consistency: pallas(interpret) forward == xla forward."""
+    from dct_autoencoder_tpu.models.factory import get_model_and_processor
+    from test_model import make_batch, tiny_config
+
+    cfg = tiny_config("lfq")
+    cfg.attention_impl = "xla"
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(4)
+    batch = make_batch(proc, rng, n_images=2)
+    batch = model.normalize_(batch)
+    out_xla = model.forward(batch, training=False)
+
+    cfg2 = tiny_config("lfq")
+    cfg2.attention_impl = "pallas"
+    model2, _ = get_model_and_processor(cfg2, sample_patches_beta=0.0)
+    model2.params = model.params
+    model2.patchnorm = model.patchnorm
+    out_pl = model2.forward(batch, training=False)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_xla["codes"]), np.asarray(out_pl["codes"])
+    )
+    valid = ~np.asarray(batch.key_pad_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_xla["dct_patches"].patches)[valid],
+        np.asarray(out_pl["dct_patches"].patches)[valid],
+        atol=2e-3,
+    )
