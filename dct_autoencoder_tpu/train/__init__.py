@@ -4,6 +4,7 @@ from .losses import (
     step_autoencoder,
     weighted_total,
 )
+from .checkpoint import has_train_state, load_train_state, save_train_state
 from .loop import (
     TrainState,
     jit_train_step,
@@ -14,6 +15,9 @@ from .loop import (
 )
 
 __all__ = [
+    "has_train_state",
+    "load_train_state",
+    "save_train_state",
     "DEFAULT_LOSS_WEIGHTS",
     "masked_l1",
     "step_autoencoder",

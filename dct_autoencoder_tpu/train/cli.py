@@ -39,6 +39,7 @@ def main(
     preprocessed_dataset_path_or_url: Optional[str] = None,
     model_config_path: str = "./conf/patch14-l.json",
     model_resume_path: Optional[str] = None,
+    train_state_resume_path: Optional[str] = None,
     dtype: str = "bfloat16",
     batch_size: int = 32,
     train_norm_iters: int = 10,
@@ -137,6 +138,7 @@ def main(
         log_every=log_every,
         save_every=save_every,
         out_dir=out_dir,
+        resume_path=train_state_resume_path,
         log=log,
     )
 

@@ -204,11 +204,18 @@ def train(
     log_every: int = 50,
     save_every: int = 1000,
     out_dir: Optional[str] = None,
+    resume_path: Optional[str] = None,
     log: Callable[[Dict], None] = print,
 ) -> Tuple[DCTAutoencoder, TrainState]:
     """Main training loop (reference main.py:151-280)."""
     tx = make_optimizer(learning_rate, max_iters)
     state = TrainState.create(model.params, tx)
+    if resume_path is not None:
+        from .checkpoint import has_train_state, load_train_state
+
+        if has_train_state(resume_path):
+            state, model.patchnorm = load_train_state(resume_path, state, model.patchnorm)
+            log({"resumed_from": resume_path, "step": int(state.step)})
     mesh = make_mesh(n_model_parallel)
 
     step_fn = make_train_step(
@@ -244,10 +251,16 @@ def train(
                 log(metrics)
 
             if out_dir and save_every and i > 0 and i % save_every == 0:
+                from .checkpoint import save_train_state
+
                 model.params = state.params
                 model.save_pretrained(f"{out_dir}/model")
+                save_train_state(out_dir, state, model.patchnorm)
 
     model.params = state.params
     if out_dir:
+        from .checkpoint import save_train_state
+
         model.save_pretrained(f"{out_dir}/model")
+        save_train_state(out_dir, state, model.patchnorm)
     return model, state
