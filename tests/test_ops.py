@@ -123,3 +123,46 @@ def test_entropy_loss_prefers_diversity():
     l_collapsed = float(compute_entropy_loss(jnp.asarray(aff_collapsed), mask))
     l_diverse = float(compute_entropy_loss(jnp.asarray(aff_diverse), mask))
     assert l_diverse < l_collapsed
+
+
+def test_masks():
+    from dct_autoencoder_tpu.ops.masks import (
+        get_circular_mask,
+        get_square_dct_basis,
+        get_upper_left_tri_p,
+        get_upper_left_tri_p_w_channel_preferences,
+        gkern,
+    )
+
+    m = get_upper_left_tri_p((3, 8, 8), 0.5)
+    assert m.shape == (1, 8, 8)
+    # DC corner (most negative distance -> below threshold) is dropped-side;
+    # far corner kept: mask keeps large-distance entries
+    assert 0.3 < m.mean() < 0.7
+
+    cm = get_upper_left_tri_p_w_channel_preferences((3, 8, 8), 0.3, (8, 1, 1))
+    assert cm.shape == (3, 8, 8)
+    # the important channel keeps more coefficients masked-out budget-wise
+    assert cm[0].sum() <= cm[1].sum()
+
+    circ = get_circular_mask((3, 8, 8), 0.5)
+    assert circ.shape == (1, 8, 8)
+    assert not circ[0, 4, 4]  # center is cut out
+
+    basis = get_square_dct_basis(4)
+    assert basis.shape == (4, 4, 4, 4)
+    np.testing.assert_allclose(basis[0, 0], np.ones((4, 4)))
+
+    g = gkern(16)
+    assert g.shape == (16, 16)
+    assert g.max() == g[8 - 1 + 1, 8 - 1 + 1] or g.max() == g[7, 7]
+
+
+def test_fft_roundtrip():
+    from dct_autoencoder_tpu.ops.masks import fft_amp_phase, inverse_fft
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((8, 8)).astype(np.float32)
+    amp, ph = fft_amp_phase(jnp.asarray(x))
+    back = inverse_fft(amp, ph)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-5)
