@@ -60,6 +60,10 @@ class DCTAutoencoderFeatureExtractor:
         channel_importances: Tuple[float, ...] = (8.0, 1.0, 1.0),
         patch_sample_magnitude_weight: float = 0.1,
         rng: Optional[_random.Random] = None,
+        # build the explicit (b, 1, s, s) attention mask on batches; the model
+        # derives masking from image ids, so training/serving paths can turn
+        # this off and skip O(b*s^2) host work per batch
+        build_attn_mask: bool = True,
     ):
         self.channels = channels
         self.patch_size = patch_size
@@ -70,6 +74,7 @@ class DCTAutoencoderFeatureExtractor:
         self.channel_importances = tuple(float(x) for x in channel_importances)
         self.patch_sample_magnitude_weight = patch_sample_magnitude_weight
         self.rng = rng
+        self.build_attn_mask = build_attn_mask
         self._preproc_cache = {}
         self._postproc_cache = {}
 
@@ -229,6 +234,7 @@ class DCTAutoencoderFeatureExtractor:
                             patch_sizes=tuple(take_patch),
                             original_sizes=tuple(take_orig),
                             _data=take_data or None,
+                            with_attn_mask=self.build_attn_mask,
                         )
                 return
 
@@ -282,6 +288,7 @@ class DCTAutoencoderFeatureExtractor:
                     patch_sizes=tuple(take_patch),
                     original_sizes=tuple(take_orig),
                     _data=take_data or None,
+                    with_attn_mask=self.build_attn_mask,
                 )
                 if batch_size is not None:
                     assert batch.patches.shape[0] == batch_size

@@ -71,54 +71,72 @@ def batch_groups(
     original_sizes: Tuple[Tuple[int, int], ...] = (),
     _data: Optional[Dict[str, List[Any]]] = None,
     dtype=np.float32,
+    with_attn_mask: bool = True,
 ) -> DCTPatches:
     """Collate completed rows into a static-shape DCTPatches batch.
 
     Reference: feature_extraction...py:515-605.  Builds, per row: concatenated
     patch tokens right-padded to max_seq_len, per-token image ids, the key
-    padding mask, and the block-diagonal attention mask
-    `(ids_i == ids_j) & ~pad_j`.
+    padding mask, and (with_attn_mask) the block-diagonal attention mask
+    `(ids_i == ids_j) & ~pad_j`.  The model itself derives masking from the
+    ids, so hot paths can skip the O(b*s^2) mask with with_attn_mask=False.
+
+    Buffer assembly runs in the native packing runtime when built
+    (ext/packing.cpp), with a numpy fallback.
     """
+    from . import native
+
     b = len(groups)
     s = max_seq_len
-    pz = groups[0][0][0].shape[-1] if b and groups[0] else 0
-    for row in groups:
-        for p, _, _ in row:
-            pz = p.shape[-1]
-            break
-        if pz:
-            break
 
-    patches = np.zeros((b, s, pz), dtype=dtype)
-    positions = np.zeros((b, s, 2), dtype=np.int32)
-    channels = np.zeros((b, s), dtype=np.int32)
-    image_ids = np.zeros((b, s), dtype=np.int32)
-    lengths = np.zeros((b,), dtype=np.int32)
-
+    flat: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    row_ids: List[int] = []
+    image_slot: List[int] = []
+    row_offsets: List[int] = []
     for row_i, row in enumerate(groups):
         offset = 0
-        for image_id, (p, pos, ch) in enumerate(row):
-            k = p.shape[0]
-            patches[row_i, offset : offset + k] = p
-            positions[row_i, offset : offset + k] = pos
-            channels[row_i, offset : offset + k] = ch
-            image_ids[row_i, offset : offset + k] = image_id
-            offset += k
-        lengths[row_i] = offset
+        for slot, item in enumerate(row):
+            flat.append(item)
+            row_ids.append(row_i)
+            image_slot.append(slot)
+            row_offsets.append(offset)
+            offset += item[0].shape[0]
 
-    key_pad_mask = lengths[:, None] <= np.arange(s)[None, :]
-    attn_mask = (image_ids[:, None, :, None] == image_ids[:, None, None, :]) & (
-        ~key_pad_mask[:, None, None, :]
+    pz = flat[0][0].shape[-1] if flat else 0
+    lengths = np.asarray([p.shape[0] for p, _, _ in flat], dtype=np.int64)
+    if flat:
+        cat_patches = np.concatenate([np.asarray(p, dtype=np.float32) for p, _, _ in flat])
+        cat_positions = np.concatenate([np.asarray(pos, dtype=np.int32) for _, pos, _ in flat])
+        cat_channels = np.concatenate([np.asarray(ch, dtype=np.int32) for _, _, ch in flat])
+    else:
+        cat_patches = np.zeros((0, pz), dtype=np.float32)
+        cat_positions = np.zeros((0, 2), dtype=np.int32)
+        cat_channels = np.zeros((0,), dtype=np.int32)
+
+    patches, positions, channels, image_ids, key_pad_mask = native.fill_batch(
+        cat_patches,
+        cat_positions,
+        cat_channels,
+        lengths,
+        np.asarray(row_ids, dtype=np.int64),
+        np.asarray(image_slot, dtype=np.int64),
+        np.asarray(row_offsets, dtype=np.int64),
+        b,
+        s,
     )
+
+    attn_mask = None
+    if with_attn_mask:
+        attn_mask = jnp.asarray(native.build_attn_mask(image_ids, key_pad_mask)[:, None])
 
     data_tuple = None
     if _data:
         data_tuple = tuple((k, tuple(v)) for k, v in _data.items())
 
     return DCTPatches(
-        patches=jnp.asarray(patches),
+        patches=jnp.asarray(patches.astype(dtype) if dtype != np.float32 else patches),
         key_pad_mask=jnp.asarray(key_pad_mask),
-        attn_mask=jnp.asarray(attn_mask),
+        attn_mask=attn_mask,
         batched_image_ids=jnp.asarray(image_ids),
         patch_channels=jnp.asarray(channels),
         patch_positions=jnp.asarray(positions),

@@ -77,6 +77,8 @@ def main(
         resume_path=model_resume_path, seed=seed,
     )
     processor.rng = random.Random(seed)
+    # the model masks from image ids; skip building explicit attention masks
+    processor.build_attn_mask = False
 
     def make_data():
         if image_dataset_path_or_url is not None:
