@@ -1,5 +1,7 @@
 from .shards import ShardWriter, WebDatasetReader, expand_urls, iter_tar_samples, decode_sample
 from .dataset import (
+    default_size_buckets,
+    resize_to_bucket,
     batched,
     dict_collate,
     load_and_transform_dataset,
@@ -8,6 +10,8 @@ from .dataset import (
 )
 
 __all__ = [
+    "default_size_buckets",
+    "resize_to_bucket",
     "ShardWriter",
     "WebDatasetReader",
     "expand_urls",

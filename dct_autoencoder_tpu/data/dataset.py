@@ -11,6 +11,7 @@ Plus the list-of-dicts column collate the packing generator consumes
 """
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -53,6 +54,37 @@ def batched(stream: Iterable[Dict], batch_size: int) -> Iterator[Dict[str, List]
         yield dict_collate(buf)
 
 
+def default_size_buckets(max_size: int = 768, min_size: int = 256, step: int = 128):
+    """Aspect-ratio bucket grid for bounded-compile preprocessing.
+
+    Returns (h, w) pairs covering portrait/landscape/square shapes; streaming
+    images are resized to the closest bucket so the number of distinct
+    preprocess shapes (== jit compilations) is fixed.
+    """
+    sizes = list(range(min_size, max_size + 1, step))
+    buckets = set()
+    for h in sizes:
+        for w in sizes:
+            if 0.5 <= h / w <= 2.0:
+                buckets.add((h, w))
+    return sorted(buckets)
+
+
+def resize_to_bucket(im: np.ndarray, buckets) -> np.ndarray:
+    """Resize (c, h, w) to the bucket with the closest aspect then scale."""
+    from PIL import Image
+
+    _, h, w = im.shape
+    ar = h / w
+    best = min(buckets, key=lambda b: (abs(math.log(ar / (b[0] / b[1]))), -b[0] * b[1]))
+    bh, bw = best
+    if (h, w) == (bh, bw):
+        return im
+    pil = Image.fromarray((im.transpose(1, 2, 0) * 255).astype(np.uint8))
+    pil = pil.resize((bw, bh), Image.BICUBIC)
+    return np.asarray(pil, dtype=np.float32).transpose(2, 0, 1) / 255.0
+
+
 def _resize_cap(im: np.ndarray, max_size: int) -> np.ndarray:
     """Cap the longest side at max_size with antialiased resize (PIL)."""
     _, h, w = im.shape
@@ -78,11 +110,21 @@ def load_and_transform_dataset(
     process_index: int = 0,
     process_count: int = 1,
     min_res_factor: int = 12,
+    size_buckets=None,
+    preprocess_batch_size: int = 0,
 ) -> Iterator[Dict[str, Any]]:
     """Raw image shards -> per-image preprocess dicts (reference dataset.py:35-89).
 
     Filters out images below 12x patch_size, caps the longest side at
     max(768, patch_size * max_patch) before the on-device DCT.
+
+    TPU-production options beyond the reference:
+      * size_buckets: resize each image to the nearest (h, w) bucket so the
+        number of distinct preprocess shapes — and therefore XLA compilations —
+        is bounded (pass `default_size_buckets()` or your own list);
+      * preprocess_batch_size: accumulate that many images and run ONE vmapped
+        preprocess per shape group (extractor.preprocess_many), amortizing
+        dispatch + compile over the group.
     """
     min_res = dct_processor.patch_size * min_res_factor
     max_size = max(
@@ -99,30 +141,58 @@ def load_and_transform_dataset(
         process_count=process_count,
     )
 
-    for sample in reader:
+    def image_stream():
+        for sample in reader:
+            try:
+                meta = sample.get("json")
+                im = None
+                for k in ("jpg", "jpeg", "png"):
+                    if k in sample:
+                        im = sample[k]
+                        break
+                if im is None:
+                    continue
+                if meta is not None:
+                    h, w = meta.get("height"), meta.get("width")
+                    if h is None or w is None or h < min_res or w < min_res:
+                        continue
+                else:
+                    if im.shape[1] < min_res or im.shape[2] < min_res:
+                        continue
+                if size_buckets is not None:
+                    im = resize_to_bucket(im, size_buckets)
+                else:
+                    im = _resize_cap(im, max_size)
+                extra = {
+                    k: v
+                    for k, v in sample.items()
+                    if k not in ("jpg", "jpeg", "png", "json", "__key__")
+                }
+                yield im, extra
+            except Exception as e:
+                if not warn_and_continue(e):
+                    raise
+
+    if preprocess_batch_size and preprocess_batch_size > 1:
+        buf_ims: list = []
+        buf_extra: list = []
+        for im, extra in image_stream():
+            buf_ims.append(im)
+            buf_extra.append(extra)
+            if len(buf_ims) == preprocess_batch_size:
+                for d, e in zip(dct_processor.preprocess_many(buf_ims), buf_extra):
+                    d.update(e)
+                    yield d
+                buf_ims, buf_extra = [], []
+        if buf_ims:
+            for d, e in zip(dct_processor.preprocess_many(buf_ims), buf_extra):
+                d.update(e)
+                yield d
+        return
+
+    for im, extra in image_stream():
         try:
-            meta = sample.get("json")
-            im = None
-            for k in ("jpg", "jpeg", "png"):
-                if k in sample:
-                    im = sample[k]
-                    break
-            if im is None:
-                continue
-            if meta is not None:
-                h, w = meta.get("height"), meta.get("width")
-                if h is None or w is None or h < min_res or w < min_res:
-                    continue
-            else:
-                if im.shape[1] < min_res or im.shape[2] < min_res:
-                    continue
-            im = _resize_cap(im, max_size)
             d = dct_processor.preprocess(im)
-            extra = {
-                k: v
-                for k, v in sample.items()
-                if k not in ("jpg", "jpeg", "png", "json", "__key__")
-            }
             d.update(extra)
             yield d
         except Exception as e:

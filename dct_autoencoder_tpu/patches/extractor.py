@@ -124,8 +124,7 @@ class DCTAutoencoderFeatureExtractor:
         chan_imp_j = jnp.asarray(chan_imp)
         mag_w = self.patch_sample_magnitude_weight
 
-        @jax.jit
-        def fn(im):
+        def core(im):
             x = rgb_to_ipt(im.astype(jnp.float32))
             x = dct2(x)
             x = x[:, :ch, :cw]  # crop the DCT plane to a patch multiple
@@ -143,13 +142,55 @@ class DCTAutoencoderFeatureExtractor:
             channels = jnp.take(ch_rep_j, order, axis=0)
             return patches, positions, channels
 
-        return fn, total, (ph, pw)
+        return {
+            "single": jax.jit(core),
+            "batched": jax.jit(jax.vmap(core)),
+            "total": total,
+            "grid": (ph, pw),
+        }
 
     def _get_preproc_fn(self, h: int, w: int):
         key = (h, w)
         if key not in self._preproc_cache:
             self._preproc_cache[key] = self._build_preproc_fn(h, w)
-        return self._preproc_cache[key]
+        e = self._preproc_cache[key]
+        return e["single"], e["total"], e["grid"]
+
+    def preprocess_many(self, images: Sequence) -> List[dict]:
+        """Batched preprocessing: group by image shape, one vmapped jit call
+        per shape group.  This is the production encode path — dispatch and
+        DCT/sort work amortize over the whole group, and with size bucketing
+        (data/dataset.py) the number of compiled shapes is bounded.
+
+        Returns per-image dicts in input order (same records as preprocess).
+        """
+        by_shape = {}
+        for i, im in enumerate(images):
+            im = np.asarray(im)
+            by_shape.setdefault(im.shape, []).append((i, im))
+
+        out: List[Optional[dict]] = [None] * len(images)
+        for (c, h, w), group in by_shape.items():
+            assert c == self.channels
+            key = (h, w)
+            if key not in self._preproc_cache:
+                self._preproc_cache[key] = self._build_preproc_fn(h, w)
+            e = self._preproc_cache[key]
+            stack = np.stack([im for _, im in group])
+            patches, positions, channels = e["batched"](stack)
+            patches = np.asarray(patches)
+            positions = np.asarray(positions)
+            channels = np.asarray(channels)
+            for j, (i, _) in enumerate(group):
+                k = self.sample_k(e["total"])
+                out[i] = dict(
+                    patches=patches[j, :k],
+                    positions=positions[j, :k],
+                    channels=channels[j, :k],
+                    original_sizes=(h, w),
+                    patch_sizes=e["grid"],
+                )
+        return out  # type: ignore[return-value]
 
     def sample_k(self, total: int) -> int:
         """Stochastic token budget (reference feature_extraction...py:429-437)."""

@@ -165,3 +165,48 @@ def test_multihost_shard_ownership(tmp_path):
         all_ids.append({s["x.json"]["shard"] for s in r})
     assert all_ids[0] | all_ids[1] == {0, 1, 2, 3}
     assert all_ids[0] & all_ids[1] == set()
+
+
+def test_size_buckets_and_batched_preprocess(tmp_path):
+    from dct_autoencoder_tpu.data.dataset import default_size_buckets, resize_to_bucket
+
+    buckets = default_size_buckets(max_size=512, min_size=256, step=128)
+    assert all(0.5 <= h / w <= 2.0 for h, w in buckets)
+
+    rng = np.random.default_rng(0)
+    im = rng.uniform(0, 1, size=(3, 300, 500)).astype(np.float32)
+    out = resize_to_bucket(im, buckets)
+    assert (out.shape[1], out.shape[2]) in buckets
+
+    # batched streaming path: mixed sizes land in buckets, bounded shapes
+    make_image_shard(tmp_path, n=6, size=200)
+    proc = DCTAutoencoderFeatureExtractor(
+        channels=3, patch_size=8, sample_patches_beta=0.0,
+        max_patch_h=64, max_patch_w=64, max_seq_len=64 * 64 * 3,
+    )
+    got = list(
+        load_and_transform_dataset(
+            str(tmp_path / "*.tar"), proc, size_buckets=buckets, preprocess_batch_size=4,
+            min_res_factor=12,
+        )
+    )
+    assert len(got) == 6
+    for d in got:
+        assert d["original_sizes"] in buckets
+
+
+def test_preprocess_many_matches_single():
+    rng = np.random.default_rng(1)
+    proc = DCTAutoencoderFeatureExtractor(
+        channels=3, patch_size=8, sample_patches_beta=0.0,
+        max_patch_h=8, max_patch_w=8, max_seq_len=192,
+    )
+    ims = [rng.uniform(0, 1, size=(3, 64, 64)).astype(np.float32) for _ in range(3)]
+    ims.append(rng.uniform(0, 1, size=(3, 32, 48)).astype(np.float32))  # second shape
+    many = proc.preprocess_many(ims)
+    for im, d_many in zip(ims, many):
+        d_one = proc.preprocess(im)
+        np.testing.assert_allclose(d_many["patches"], d_one["patches"], atol=1e-5)
+        np.testing.assert_array_equal(d_many["positions"], d_one["positions"])
+        np.testing.assert_array_equal(d_many["channels"], d_one["channels"])
+        assert d_many["patch_sizes"] == d_one["patch_sizes"]
