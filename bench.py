@@ -56,6 +56,107 @@ def build_packed_batch(cfg, max_seq_len=256, rows=64, beta=0.02, seed=0):
     return batch, n_images
 
 
+def bench_e2e():
+    """Full pipeline on real fixture images: decode->preprocess->pack->
+    normalize->model->unpack->pixels (BASELINE configs 2-3).  Images are
+    bucketed to one shape so the whole run uses two compiled programs."""
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from dct_autoencoder_tpu.models.config import DCTAutoencoderConfig
+    from dct_autoencoder_tpu.models.factory import get_model_and_processor
+    from dct_autoencoder_tpu.models.patchnorm import calibrate_patchnorm_batch
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = DCTAutoencoderConfig.from_json_file(os.path.join(here, "conf", "patch14-l.json"))
+    model, proc = get_model_and_processor(cfg, dtype=jnp.bfloat16, sample_patches_beta=0.02)
+
+    img_dir = "/root/reference/images"
+    files = sorted(f for f in os.listdir(img_dir) if f.lower().endswith((".jpg", ".jpeg")))
+    ims = []
+    for f in files:
+        im = Image.open(os.path.join(img_dir, f)).convert("RGB").resize((448, 448), Image.BICUBIC)
+        ims.append(np.asarray(im, dtype=np.float32).transpose(2, 0, 1) / 255.0)
+    # replicate to a meaningful workload
+    reps = int(os.environ.get("BENCH_E2E_REPS", "8"))
+    ims = ims * reps
+
+    def run_once():
+        ds = proc.preprocess_many(ims)
+        cols = {k: [d[k] for d in ds] for k in ds[0]}
+        batches = list(proc.iter_batches(iter([cols]), batch_size=None))
+        outs = []
+        for batch in batches:
+            nb = model.normalize_(batch)
+            out = model.forward(nb, training=False)
+            outs.append(out["codes"])
+        return outs
+
+    # calibrate patchnorm once so normalize is meaningful
+    d0 = proc.preprocess_many(ims[: len(files)])
+    cols0 = {k: [d[k] for d in d0] for k in d0[0]}
+    b0 = next(proc.iter_batches(iter([cols0]), batch_size=None))
+    model.patchnorm, _ = calibrate_patchnorm_batch(model.patchnorm, b0)
+
+    run_once()  # compile both programs
+    t0 = time.perf_counter()
+    outs = run_once()
+    jax.block_until_ready(outs)
+    float(np.asarray(outs[-1]).sum())
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "patch14l_e2e_pipeline_throughput",
+        "value": round(len(ims) / dt, 1),
+        "unit": "images/s/chip",
+        "vs_baseline": round(len(ims) / dt / 2000.0, 3),
+    }
+
+
+def bench_dct():
+    """BASELINE config 1: IPT+DCT -> patchify -> patchnorm roundtrip -> IDCT
+    -> RGB on baboon.jpg (no model)."""
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from dct_autoencoder_tpu.ops.colorspace import ipt_to_rgb, rgb_to_ipt
+    from dct_autoencoder_tpu.ops.dct import dct2, idct2
+
+    im = Image.open("/root/reference/images/baboon.jpg").convert("RGB")
+    im = im.resize((512, 512), Image.BICUBIC)
+    x = np.asarray(im, dtype=np.float32).transpose(2, 0, 1) / 255.0
+    batch = jnp.asarray(np.stack([x] * 32))
+
+    @jax.jit
+    def roundtrip(b):
+        y = dct2(rgb_to_ipt(b))
+        return ipt_to_rgb(idct2(y))
+
+    r = roundtrip(batch)
+    float(np.asarray(r).sum())
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = roundtrip(r)
+    float(np.asarray(r).sum())
+    dt = (time.perf_counter() - t0) / n
+    err = float(np.abs(np.asarray(roundtrip(batch)) - np.asarray(batch)).max())
+    assert err < 1e-2, f"roundtrip error {err}"
+    return {
+        "metric": "dct_roundtrip_throughput",
+        "value": round(batch.shape[0] / dt, 1),
+        "unit": "images/s/chip",
+        "vs_baseline": 0.0,
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -64,6 +165,14 @@ def main():
     from dct_autoencoder_tpu.models.config import DCTAutoencoderConfig
 
     import os
+
+    mode = os.environ.get("BENCH_MODE", "model")
+    if mode == "e2e":
+        print(json.dumps(bench_e2e()))
+        return
+    if mode == "dct":
+        print(json.dumps(bench_dct()))
+        return
 
     here = os.path.dirname(os.path.abspath(__file__))
     cfg = DCTAutoencoderConfig.from_json_file(os.path.join(here, "conf", "patch14-l.json"))

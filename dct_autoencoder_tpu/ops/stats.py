@@ -83,3 +83,36 @@ def calculate_perplexity(
     logits = jnp.where(probs > 0.0, jnp.log2(jnp.maximum(probs, 1e-30)), 0.0)
     entropy = -jnp.sum(probs * logits)
     return 2.0**entropy
+
+
+def pad_sequence(seqs, max_seq_len: int) -> jnp.ndarray:
+    """Right-pad a list of (k_i, ...) arrays to (n, max_seq_len, ...)
+    (reference util.py:149-164)."""
+    import numpy as np
+
+    back = np.asarray(seqs[0]).shape[1:]
+    out = np.zeros((len(seqs), max_seq_len, *back), dtype=np.asarray(seqs[0]).dtype)
+    for i, s in enumerate(seqs):
+        s = np.asarray(s)
+        assert s.shape[0] <= max_seq_len
+        out[i, : s.shape[0]] = s
+    return jnp.asarray(out)
+
+
+def ema_update_2d(old: jnp.ndarray, new: jnp.ndarray, alpha: float = 0.8) -> jnp.ndarray:
+    """EMA over the overlapping top-left region (reference util.py:208-210);
+    functional: returns the updated array."""
+    h, w = new.shape[-2], new.shape[-1]
+    blended = alpha * new[..., :h, :w] + (1 - alpha) * old[..., :h, :w]
+    return old.at[..., :h, :w].set(blended)
+
+
+def get_decay_fn(start_val: float, end_value: float, n: int):
+    """Linear decay schedule fn (reference util.py:609-615)."""
+
+    def fn(i: int) -> float:
+        if i > n:
+            return end_value
+        return ((n - i) / n) * start_val + (i / n) * end_value
+
+    return fn

@@ -49,6 +49,8 @@ def main(
     seed: int = 42,
     log_every: int = 200,
     save_every: int = 1000,
+    log_images_every: int = 0,
+    profile_dir: str = None,
     grad_accumulation_steps: int = 1,
     n_model_parallel: int = 1,
     rec_loss_unnormalized: float = 1.0,
@@ -127,6 +129,10 @@ def main(
         print("done training norm")
 
     # --------------------------- Main training ----------------------------
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
     model, state = train(
         model,
         processor,
@@ -139,11 +145,17 @@ def main(
         n_model_parallel=n_model_parallel,
         log_every=log_every,
         save_every=save_every,
+        log_images_every=log_images_every,
         out_dir=out_dir,
         resume_path=train_state_resume_path,
         log=log,
     )
 
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        print("profiler trace written to", profile_dir)
     if out_dir:
         model.save_pretrained(os.path.join(out_dir, "model"))
         print("saved", out_dir)

@@ -203,11 +203,16 @@ def train(
     n_model_parallel: int = 1,
     log_every: int = 50,
     save_every: int = 1000,
+    log_images_every: int = 0,
+    n_log_images: int = 10,
     out_dir: Optional[str] = None,
     resume_path: Optional[str] = None,
     log: Callable[[Dict], None] = print,
 ) -> Tuple[DCTAutoencoder, TrainState]:
-    """Main training loop (reference main.py:151-280)."""
+    """Main training loop (reference main.py:151-280).
+
+    log_images_every > 0 writes an original-vs-reconstruction grid to out_dir
+    every that many steps (reference main.py:195-214)."""
     tx = make_optimizer(learning_rate, max_iters)
     state = TrainState.create(model.params, tx)
     if resume_path is not None:
@@ -249,6 +254,28 @@ def train(
                     images_per_batch=len(batch.original_sizes),
                 )
                 log(metrics)
+
+            if out_dir and log_images_every and i % log_images_every == 0:
+                from ..tools.viz import make_image_grid
+
+                model.params = state.params
+                out = model.forward(model.normalize_(batch), training=False)
+                rec = model.inv_normalize_(out["dct_patches"])
+                rec_images = proc.postprocess(rec)
+                orig_images = proc.postprocess(batch)  # batch holds raw patches
+                # RGB-space pixel MSE metric (reference main.py:95-110; here a
+                # metric only — the host-side unpatch is not differentiated)
+                pixel_loss = float(
+                    np.mean(
+                        [np.mean((np.clip(r, 0, 1) - o) ** 2) for r, o in zip(rec_images, orig_images)]
+                    )
+                )
+                log({"step": i, "pixel_loss": pixel_loss})
+                make_image_grid(
+                    orig_images[:n_log_images],
+                    [np.clip(r, 0, 1) for r in rec_images[:n_log_images]],
+                    filename=f"{out_dir}/train_image_{i:06d}.png",
+                )
 
             if out_dir and save_every and i > 0 and i % save_every == 0:
                 from .checkpoint import save_train_state

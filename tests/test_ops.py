@@ -166,3 +166,23 @@ def test_fft_roundtrip():
     amp, ph = fft_amp_phase(jnp.asarray(x))
     back = inverse_fft(amp, ph)
     np.testing.assert_allclose(np.asarray(back), x, atol=1e-5)
+
+
+def test_pad_sequence_and_decay_and_ema():
+    from dct_autoencoder_tpu.ops.stats import ema_update_2d, get_decay_fn, pad_sequence
+
+    seqs = [np.ones((2, 3), np.float32), np.ones((4, 3), np.float32) * 2]
+    out = np.asarray(pad_sequence(seqs, 5))
+    assert out.shape == (2, 5, 3)
+    np.testing.assert_allclose(out[0, :2], 1.0)
+    np.testing.assert_allclose(out[0, 2:], 0.0)
+    np.testing.assert_allclose(out[1, :4], 2.0)
+
+    fn = get_decay_fn(1.0, 0.0, 10)
+    assert fn(0) == 1.0 and fn(10) == 0.0 and fn(11) == 0.0 and fn(5) == 0.5
+
+    old = jnp.zeros((4, 4))
+    new = jnp.ones((2, 2))
+    upd = np.asarray(ema_update_2d(old, new, alpha=0.5))
+    np.testing.assert_allclose(upd[:2, :2], 0.5)
+    np.testing.assert_allclose(upd[2:, 2:], 0.0)

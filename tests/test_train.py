@@ -112,3 +112,35 @@ def test_train_patch_norm_phase():
     # processor settings restored
     assert proc.sample_patches_beta == 0.0
     assert proc.max_seq_len == 8 * 8 * 3
+
+
+def test_train_loop_logs_image_grids(tmp_path):
+    from dct_autoencoder_tpu.train.loop import train
+
+    model, proc, _ = setup_model()
+    rng = np.random.default_rng(9)
+
+    def data_iter():
+        for _ in range(2):
+            ims = [rng.uniform(0.1, 0.9, size=(3, 32, 32)).astype(np.float32) for _ in range(3)]
+            ds = [proc.preprocess(im) for im in ims]
+            yield {k: [d[k] for d in ds] for k in ds[0]}
+
+    out_dir = str(tmp_path / "run")
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    train(
+        model,
+        proc,
+        data_iter(),
+        batch_size=None,
+        max_iters=2,
+        learning_rate=1e-4,
+        log_images_every=1,
+        n_log_images=2,
+        save_every=0,
+        out_dir=out_dir,
+    )
+    grids = [f for f in os.listdir(out_dir) if f.startswith("train_image_")]
+    assert grids, "no image grids written"
