@@ -134,21 +134,24 @@ def bench_dct():
     x = np.asarray(im, dtype=np.float32).transpose(2, 0, 1) / 255.0
     batch = jnp.asarray(np.stack([x] * 32))
 
-    @jax.jit
     def roundtrip(b):
         y = dct2(rgb_to_ipt(b))
         return ipt_to_rgb(idct2(y))
 
-    r = roundtrip(batch)
-    float(np.asarray(r).sum())
-    n = 10
+    n = 20
+
+    @jax.jit
+    def chain(b):
+        out = jax.lax.fori_loop(0, n, lambda _, x: roundtrip(x), b)
+        return jnp.sum(out), jnp.max(jnp.abs(out - b))
+
+    s, err = chain(batch)
+    err = float(np.asarray(err))
+    assert err < 0.05, f"roundtrip error after {n} chained roundtrips: {err}"
     t0 = time.perf_counter()
-    for _ in range(n):
-        r = roundtrip(r)
-    float(np.asarray(r).sum())
+    s, _ = chain(batch)
+    float(np.asarray(s))
     dt = (time.perf_counter() - t0) / n
-    err = float(np.abs(np.asarray(roundtrip(batch)) - np.asarray(batch)).max())
-    assert err < 1e-2, f"roundtrip error {err}"
     return {
         "metric": "dct_roundtrip_throughput",
         "value": round(batch.shape[0] / dt, 1),

@@ -125,3 +125,62 @@ def test_model_forward_pallas_vs_xla():
         np.asarray(out_pl["dct_patches"].patches)[valid],
         atol=2e-3,
     )
+
+
+def test_fused_dct_patchify_matches_jnp():
+    """Fused IPT+DCT+patchify kernel (interpret) == the pure-jnp pipeline."""
+    from dct_autoencoder_tpu.kernels.dct_patchify import fused_ipt_dct_patchify
+    from dct_autoencoder_tpu.ops.colorspace import rgb_to_ipt
+    from dct_autoencoder_tpu.ops.dct import dct2
+
+    rng = np.random.default_rng(0)
+    b, h, w, p = 2, 40, 56, 8
+    ch, cw = 40, 56
+    x = rng.uniform(0.05, 0.95, size=(b, 3, h, w)).astype(np.float32)
+
+    got = np.asarray(fused_ipt_dct_patchify(jnp.asarray(x), p, ch, cw, interpret=True))
+
+    y = dct2(rgb_to_ipt(jnp.asarray(x)))[:, :, :ch, :cw]
+    ph, pw = ch // p, cw // p
+    want = (
+        np.asarray(y)
+        .reshape(b, 3, ph, p, pw, p)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(b, ph * pw, 3, p * p)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_fused_dct_patchify_nonmultiple_crop():
+    """Full-size DCT with a cropped frequency plane (reference semantics)."""
+    from dct_autoencoder_tpu.kernels.dct_patchify import fused_ipt_dct_patchify
+    from dct_autoencoder_tpu.ops.colorspace import rgb_to_ipt
+    from dct_autoencoder_tpu.ops.dct import dct2
+
+    rng = np.random.default_rng(1)
+    h, w, p = 43, 61, 8
+    ch, cw = 40, 56
+    x = rng.uniform(0.05, 0.95, size=(1, 3, h, w)).astype(np.float32)
+    got = np.asarray(fused_ipt_dct_patchify(jnp.asarray(x), p, ch, cw, interpret=True))
+    y = dct2(rgb_to_ipt(jnp.asarray(x)))[:, :, :ch, :cw]
+    want = (
+        np.asarray(y)
+        .reshape(1, 3, ch // p, p, cw // p, p)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(1, -1, 3, p * p)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_extractor_fused_matches_jnp_path():
+    from dct_autoencoder_tpu.patches.extractor import DCTAutoencoderFeatureExtractor
+
+    rng = np.random.default_rng(2)
+    im = rng.uniform(0.05, 0.95, size=(3, 64, 64)).astype(np.float32)
+    kw = dict(channels=3, patch_size=8, sample_patches_beta=0.0,
+              max_patch_h=8, max_patch_w=8, max_seq_len=192)
+    d_jnp = DCTAutoencoderFeatureExtractor(**kw, use_fused_kernel="jnp").preprocess(im)
+    d_pl = DCTAutoencoderFeatureExtractor(**kw, use_fused_kernel="pallas").preprocess(im)
+    np.testing.assert_allclose(d_pl["patches"], d_jnp["patches"], atol=1e-3)
+    np.testing.assert_array_equal(d_pl["positions"], d_jnp["positions"])
+    np.testing.assert_array_equal(d_pl["channels"], d_jnp["channels"])
