@@ -26,12 +26,14 @@ from .models.autoencoder import DCTAutoencoder
 from .models.factory import get_model_and_processor, get_max_seq_length
 from .patches.container import DCTPatches
 from .patches.extractor import DCTAutoencoderFeatureExtractor
+from .pipeline import DCTPipeline
 
 __all__ = [
     "DCTAutoencoderConfig",
     "DCTAutoencoder",
     "DCTPatches",
     "DCTAutoencoderFeatureExtractor",
+    "DCTPipeline",
     "get_model_and_processor",
     "get_max_seq_length",
 ]

@@ -1,0 +1,104 @@
+"""High-level tokenizer pipeline: images <-> LFQ token records in one call.
+
+The reference scatters this flow across scripts (testpipe.py,
+prepare_autoregressive_dataset.py, decode_gif.py); here it is the serving API:
+
+    pipe = DCTPipeline.from_pretrained("out/<ts>/model")
+    records = pipe.encode(images)        # JSON-able per-image token records
+    recons  = pipe.decode(records)       # RGB arrays at original sizes
+
+Encoding uses the batched preprocessing path (one vmapped program per image
+shape) + packing + the jitted model forward; decoding rebuilds packed batches
+from records and runs decode_from_codes.  Everything static-shape on device.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .models.autoencoder import DCTAutoencoder
+from .models.config import DCTAutoencoderConfig
+from .models.factory import get_model_and_processor
+from .patches.container import DCTPatches, from_dict, to_dict
+from .patches.extractor import DCTAutoencoderFeatureExtractor
+from .patches.packing import batch_groups, group_patches_by_max_seq_len
+
+
+class DCTPipeline:
+    def __init__(self, model: DCTAutoencoder, processor: DCTAutoencoderFeatureExtractor):
+        self.model = model
+        self.processor = processor
+
+    @classmethod
+    def from_pretrained(cls, path: str, sample_patches_beta: float = 0.02, dtype=None):
+        import jax.numpy as jnp
+
+        model, proc = get_model_and_processor(
+            None,
+            dtype=dtype or jnp.bfloat16,
+            sample_patches_beta=sample_patches_beta,
+            resume_path=path,
+        )
+        return cls(model, proc)
+
+    @classmethod
+    def from_config(
+        cls,
+        config: DCTAutoencoderConfig,
+        sample_patches_beta: float = 0.02,
+        dtype=None,
+        seed: int = 0,
+    ):
+        import jax.numpy as jnp
+
+        model, proc = get_model_and_processor(
+            config,
+            dtype=dtype or jnp.bfloat16,
+            sample_patches_beta=sample_patches_beta,
+            seed=seed,
+        )
+        return cls(model, proc)
+
+    # ------------------------------------------------------------------ api
+
+    def encode(self, images: Sequence[np.ndarray], batch_size: Optional[int] = None) -> List[dict]:
+        """RGB images ((c, h, w) float in [0,1]) -> per-image token records.
+
+        Records follow the reference token-dump schema (dct_patches.to_dict):
+        {"size", "original_size", "codes": [{"c","h","w","data"}]}.
+        """
+        ds = self.processor.preprocess_many(images)
+        cols = {k: [d[k] for d in ds] for k in ds[0]}
+        records: List[dict] = []
+        for batch in self.processor.iter_batches(
+            iter([cols]), batch_size=batch_size, drain=batch_size is not None
+        ):
+            nb = self.model.normalize_(batch)
+            out = self.model.forward(nb, training=False)
+            records.extend(to_dict(out["dct_patches"], out["codes"]))
+        return records
+
+    def decode(self, records: Sequence[dict]) -> List[np.ndarray]:
+        """Token records -> RGB images at their original sizes."""
+        images: List[np.ndarray] = []
+        for rec in records:
+            dp, codes = from_dict(rec)
+            n = codes.shape[0]
+            decoded = self.model.decode_from_codes(
+                codes[None],
+                key_pad_mask=dp.key_pad_mask,
+                attn_mask=dp.attn_mask,
+                batched_image_ids=dp.batched_image_ids,
+                patch_channels=dp.patch_channels,
+                patch_positions=dp.patch_positions,
+                patch_sizes=dp.patch_sizes,
+                original_sizes=dp.original_sizes,
+            )
+            decoded = self.model.inv_normalize_(decoded)
+            images.append(np.clip(self.processor.postprocess(decoded)[0], 0.0, 1.0))
+        return images
+
+    def reconstruct(self, images: Sequence[np.ndarray]) -> List[np.ndarray]:
+        """encode + decode in one step (keeps original image order)."""
+        return self.decode(self.encode(images))

@@ -163,3 +163,35 @@ def test_attn_bias_parity_mode():
     batch = model.normalize_(batch)
     out = model.forward(batch, training=False)
     assert np.isfinite(np.asarray(out["dct_patches"].patches)).all()
+
+
+def test_pipeline_encode_decode_roundtrip(tmp_path):
+    """High-level serving API: images -> token records -> images."""
+    import jax.numpy as jnp
+
+    from dct_autoencoder_tpu.pipeline import DCTPipeline
+
+    cfg = tiny_config("lfq")
+    pipe = DCTPipeline.from_config(cfg, sample_patches_beta=0.0, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    ims = [rng.uniform(0.1, 0.9, size=(3, 32, 32)).astype(np.float32) for _ in range(3)]
+
+    records = pipe.encode(ims)
+    assert len(records) == 3
+    for rec in records:
+        assert rec["original_size"] == (32, 32)
+        assert all(len(c["data"]) == cfg.vq_num_codebooks for c in rec["codes"])
+
+    recons = pipe.decode(records)
+    assert len(recons) == 3
+    for r, im in zip(recons, ims):
+        assert r.shape == im.shape
+        assert np.isfinite(r).all()
+
+    # save/load keeps the pipeline bit-identical in code space
+    path = str(tmp_path / "m")
+    pipe.model.save_pretrained(path)
+    pipe2 = DCTPipeline.from_pretrained(path, sample_patches_beta=0.0, dtype=jnp.float32)
+    records2 = pipe2.encode(ims)
+    for a, b in zip(records, records2):
+        assert [c["data"] for c in a["codes"]] == [c["data"] for c in b["codes"]]

@@ -1,0 +1,94 @@
+"""True multi-process distributed test.
+
+Spawns two real processes that form a jax.distributed cluster over localhost
+(the CPU counterpart of a 2-host TPU slice), build a global mesh spanning both
+processes' devices, and run a psum + a sharded computation.  This validates
+the actual multi-host bring-up path (parallel/mesh.initialize_distributed),
+which fake-pod single-process tests cannot.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+_WORKER = r"""
+import os, sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+coordinator, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(
+    coordinator_address=coordinator, num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2, jax.process_count()
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+devices = jax.devices()  # global: one cpu device per process
+assert len(devices) == 2, devices
+mesh = Mesh(np.asarray(devices).reshape(2), ("data",))
+
+# each process contributes its local shard of a length-2 global array
+local = np.asarray([float(pid + 1)], dtype=np.float32)
+sharding = NamedSharding(mesh, P("data"))
+global_arr = jax.make_array_from_process_local_data(sharding, local, (2,))
+
+@jax.jit
+def total(x):
+    return jnp.sum(x)
+
+s = float(total(global_arr))
+assert s == 3.0, s
+
+# collective inside shard_map: psum across the two processes
+from jax import shard_map
+
+@jax.jit
+def psum_all(x):
+    f = shard_map(
+        lambda v: jax.lax.psum(v, "data"), mesh=mesh, in_specs=P("data"), out_specs=P()
+    )
+    return f(x)
+
+r = np.asarray(jax.device_get(psum_all(global_arr)))
+assert float(r[0]) == 3.0, r
+print(f"proc {pid} ok", flush=True)
+"""
+
+
+def test_two_process_cluster(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = ""  # no fake devices: one real cpu device per process
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coordinator, str(pid)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=110)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"proc {pid} ok" in out
