@@ -83,12 +83,14 @@ class DCTAutoencoderModule(nn.Module):
                 num_codebooks=cfg.vq_num_codebooks,
             )
         elif cfg.vq_type == "vq":
+            # reference settings: modeling_dct_autoencoder.py:77
             self.vq_model = VectorQuantize(
                 dim=feature_dim,
                 codebook_size=cfg.vq_codebook_size,
                 heads=cfg.vq_num_codebooks,
                 codebook_dim=16,
                 sample_codebook_temp=20.0,
+                affine_param=True,
             )
         else:
             raise ValueError(cfg.vq_type)

@@ -46,28 +46,56 @@ class VectorQuantize(nn.Module):
     sample_codebook_temp: float = 0.0
     commitment_weight: float = 1.0
     codebook_weight: float = 1.0
+    # one codebook per head instead of a shared one
+    # (reference vector_quantize.py separate_codebook_per_head)
+    separate_codebook_per_head: bool = False
+    # affine codebook re-parameterization: learnable per-dim scale/shift on
+    # the codebook (gradient-trained analogue of the reference's EMA-tracked
+    # batch/codebook statistic rescaling, vector_quantize.py:383-409)
+    affine_param: bool = False
+    # || C C^T - I ||^2 penalty pushing codes apart
+    # (reference vector_quantize.py orthogonal_reg_weight)
+    orthogonal_reg_weight: float = 0.0
     sync_axis: Optional[str] = None
 
     def setup(self):
         inner = self.codebook_dim * self.heads
         self.project_in = nn.Dense(inner, name="project_in")
         self.project_out = nn.Dense(self.dim, name="project_out")
-        self.codebook = self.param(
-            "codebook",
-            nn.initializers.normal(stddev=1.0),
-            (self.codebook_size, self.codebook_dim),
+        cb_shape = (
+            (self.heads, self.codebook_size, self.codebook_dim)
+            if self.separate_codebook_per_head
+            else (self.codebook_size, self.codebook_dim)
         )
+        self.codebook = self.param(
+            "codebook", nn.initializers.normal(stddev=1.0), cb_shape
+        )
+        if self.affine_param:
+            self.affine_scale = self.param(
+                "affine_scale", nn.initializers.ones, (self.codebook_dim,)
+            )
+            self.affine_shift = self.param(
+                "affine_shift", nn.initializers.zeros, (self.codebook_dim,)
+            )
 
     def _normed_codebook(self) -> jnp.ndarray:
+        cb = self.codebook
+        if self.affine_param:
+            cb = cb * self.affine_scale + self.affine_shift
         if self.use_cosine_sim:
-            return self.codebook / (
-                jnp.linalg.norm(self.codebook, axis=-1, keepdims=True) + 1e-8
-            )
-        return self.codebook
+            cb = cb / (jnp.linalg.norm(cb, axis=-1, keepdims=True) + 1e-8)
+        return cb
 
     def indices_to_codes(self, indices: jnp.ndarray) -> jnp.ndarray:
         """(..., h) indices -> (..., dim) decoded features."""
-        codes = self._normed_codebook()[indices]  # (..., h, d)
+        cb = self._normed_codebook()
+        if self.separate_codebook_per_head:
+            # per-head gather from (h, z, d)
+            codes = jnp.stack(
+                [cb[h][indices[..., h]] for h in range(self.heads)], axis=-2
+            )
+        else:
+            codes = cb[indices]  # (..., h, d)
         codes = codes.reshape(*codes.shape[:-2], self.heads * self.codebook_dim)
         return self.project_out(codes)
 
@@ -90,7 +118,16 @@ class VectorQuantize(nn.Module):
             z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
 
         codebook = self._normed_codebook()
-        dists = _euclidean_sq_dist(z.astype(jnp.float32), codebook.astype(jnp.float32))
+        if self.separate_codebook_per_head:
+            # (b, n, h, d) vs (h, z, d): per-head distances via one einsum
+            z32 = z.astype(jnp.float32)
+            cb32 = codebook.astype(jnp.float32)
+            x2 = jnp.sum(z32 * z32, axis=-1, keepdims=True)
+            c2 = jnp.sum(cb32 * cb32, axis=-1)  # (h, z)
+            xc = jnp.einsum("bnhd,hzd->bnhz", z32, cb32, preferred_element_type=jnp.float32)
+            dists = x2 + c2[None, None] - 2.0 * xc
+        else:
+            dists = _euclidean_sq_dist(z.astype(jnp.float32), codebook.astype(jnp.float32))
 
         if training and self.sample_codebook_temp > 0.0 and rng is not None:
             # stochastic code sampling (reference vector_quantize.py:61-98)
@@ -99,7 +136,12 @@ class VectorQuantize(nn.Module):
         else:
             indices = jnp.argmin(dists, axis=-1)
 
-        quantized = codebook[indices]  # (b, n, h, d)
+        if self.separate_codebook_per_head:
+            quantized = jnp.stack(
+                [codebook[i][indices[..., i]] for i in range(h)], axis=-2
+            )  # (b, n, h, d)
+        else:
+            quantized = codebook[indices]  # (b, n, h, d)
 
         if training:
             if mask is None:
@@ -112,6 +154,13 @@ class VectorQuantize(nn.Module):
             codebook_loss = (jax.lax.stop_gradient(z) - quantized) ** 2
             codebook_loss = masked_mean(codebook_loss, mask, dim=0).sum(axis=0).mean()
             loss = self.commitment_weight * commit + self.codebook_weight * codebook_loss
+            if self.orthogonal_reg_weight > 0.0:
+                cb2 = codebook.reshape(-1, d)
+                cbn = cb2 / (jnp.linalg.norm(cb2, axis=-1, keepdims=True) + 1e-8)
+                gram = cbn @ cbn.T
+                eye = jnp.eye(gram.shape[0], dtype=gram.dtype)
+                ortho = jnp.sum((gram - eye) ** 2) / gram.shape[0] ** 2
+                loss = loss + self.orthogonal_reg_weight * ortho
             # straight-through
             zq = z + jax.lax.stop_gradient(quantized - z)
         else:

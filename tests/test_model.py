@@ -195,3 +195,35 @@ def test_pipeline_encode_decode_roundtrip(tmp_path):
     records2 = pipe2.encode(ims)
     for a, b in zip(records, records2):
         assert [c["data"] for c in a["codes"]] == [c["data"] for c in b["codes"]]
+
+
+def test_vq_variants():
+    """Separate-codebook-per-head, affine, orthogonal-reg VQ options."""
+    from dct_autoencoder_tpu.models.vq import VectorQuantize
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 8, 32)).astype(np.float32))
+    mask = jnp.ones((2, 8), dtype=bool)
+
+    for kwargs in [
+        dict(separate_codebook_per_head=True),
+        dict(affine_param=True),
+        dict(orthogonal_reg_weight=0.1),
+        dict(use_cosine_sim=True, separate_codebook_per_head=True, affine_param=True),
+    ]:
+        vq = VectorQuantize(dim=32, codebook_size=16, heads=4, codebook_dim=8, **kwargs)
+        params = vq.init(jax.random.PRNGKey(0), x, mask=mask)
+        out, idx, loss = vq.apply(params, x, mask=mask, training=True)
+        assert out.shape == x.shape
+        assert idx.shape == (2, 8, 4)
+        assert np.isfinite(float(loss))
+        # indices_to_codes consistency: eval-path quantized == decode(indices)
+        out_e, idx_e, _ = vq.apply(params, x, mask=mask, training=False)
+        dec = vq.apply(params, idx_e, method="indices_to_codes")
+        np.testing.assert_allclose(np.asarray(out_e), np.asarray(dec), atol=1e-5)
+        # gradients flow
+        g = jax.grad(
+            lambda p: vq.apply(p, x, mask=mask, training=True)[2]
+            + jnp.sum(vq.apply(p, x, mask=mask, training=True)[0] ** 2)
+        )(params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
