@@ -25,6 +25,9 @@ class TransformerConfig:
     hidden_act: str = "quick_gelu"
     dropout: float = 0.0
     attention_dropout: float = 0.0
+    # rematerialize each layer in the backward pass (jax.checkpoint): trades
+    # ~30% more FLOPs for activation memory ~ O(layers) -> O(1)
+    remat: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "TransformerConfig":

@@ -154,8 +154,13 @@ class TransformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn: AttentionContext) -> jnp.ndarray:
+        layer_cls = EncoderLayer
+        if self.config.remat:
+            # static_argnums: AttentionContext's meta fields are static; the
+            # pytree itself is a valid traced arg, so only x is saved
+            layer_cls = nn.remat(EncoderLayer)
         for i in range(self.config.num_hidden_layers):
-            x = EncoderLayer(self.config, dtype=self.dtype, name=f"layers_{i}")(x, attn)
+            x = layer_cls(self.config, dtype=self.dtype, name=f"layers_{i}")(x, attn)
         return x
 
 

@@ -227,3 +227,33 @@ def test_vq_variants():
             + jnp.sum(vq.apply(p, x, mask=mask, training=True)[0] ** 2)
         )(params)
         assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
+
+
+def test_remat_matches_no_remat():
+    """Gradient checkpointing changes memory, not values or gradients."""
+    cfg = tiny_config("lfq")
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(10)
+    batch = make_batch(proc, rng)
+    batch = model.normalize_(batch)
+
+    cfg_r = tiny_config("lfq")
+    cfg_r.encoder_config.remat = True
+    cfg_r.decoder_config.remat = True
+    model_r = DCTAutoencoder(cfg_r)
+    model_r.params = model.params
+    model_r.patchnorm = model.patchnorm
+
+    def loss(m, params):
+        out = m.module.apply({"params": params}, batch, training=True)
+        mask = ~batch.key_pad_mask
+        return (
+            (jnp.abs(out["dct_patches"].patches - batch.patches) * mask[..., None]).sum()
+            / mask.sum()
+        )
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(model, p))(model.params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(model_r, p))(model.params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
