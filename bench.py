@@ -86,6 +86,11 @@ def bench_e2e():
     ims = ims * reps
 
     def run_once():
+        import random as _r
+
+        # identical stochastic budgets every run -> identical batch shapes ->
+        # both device programs compile exactly once
+        proc.rng = _r.Random(0)
         ds = proc.preprocess_many(ims)
         cols = {k: [d[k] for d in ds] for k in ds[0]}
         batches = list(proc.iter_batches(iter([cols]), batch_size=None))
@@ -96,11 +101,8 @@ def bench_e2e():
             outs.append(out["codes"])
         return outs
 
-    # calibrate patchnorm once so normalize is meaningful
-    d0 = proc.preprocess_many(ims[: len(files)])
-    cols0 = {k: [d[k] for d in d0] for k in d0[0]}
-    b0 = next(proc.iter_batches(iter([cols0]), batch_size=None))
-    model.patchnorm, _ = calibrate_patchnorm_batch(model.patchnorm, b0)
+    # fresh-init patchnorm stats (median 0 / b 1) keep normalize well-defined
+    # without compiling a third device program for calibration
 
     run_once()  # compile both programs
     t0 = time.perf_counter()
