@@ -80,7 +80,8 @@ def bench_e2e():
     ims = []
     for f in files:
         im = Image.open(os.path.join(img_dir, f)).convert("RGB").resize((448, 448), Image.BICUBIC)
-        ims.append(np.asarray(im, dtype=np.float32).transpose(2, 0, 1) / 255.0)
+        # ship uint8; the extractor converts on device (4x less H2D transfer)
+        ims.append(np.asarray(im, dtype=np.uint8).transpose(2, 0, 1))
     # replicate to a meaningful workload
     reps = int(os.environ.get("BENCH_E2E_REPS", "8"))
     ims = ims * reps

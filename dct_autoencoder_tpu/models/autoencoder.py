@@ -208,10 +208,16 @@ class DCTAutoencoder:
     # ------------------------------------------------------------- patchnorm
 
     def normalize_(self, x: DCTPatches) -> DCTPatches:
-        return x.replace(patches=apply_patchnorm(self.patchnorm, x))
+        # jitted: the eager path dispatches ~a dozen ops per call, which is
+        # brutal over remote-dispatch links
+        if "normalize" not in self._jit_cache:
+            self._jit_cache["normalize"] = jax.jit(apply_patchnorm)
+        return x.replace(patches=self._jit_cache["normalize"](self.patchnorm, x))
 
     def inv_normalize_(self, x: DCTPatches) -> DCTPatches:
-        return x.replace(patches=inverse_patchnorm(self.patchnorm, x))
+        if "inv_normalize" not in self._jit_cache:
+            self._jit_cache["inv_normalize"] = jax.jit(inverse_patchnorm)
+        return x.replace(patches=self._jit_cache["inv_normalize"](self.patchnorm, x))
 
     # ----------------------------------------------------------------- apply
 

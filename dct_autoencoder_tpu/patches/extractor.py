@@ -133,7 +133,12 @@ class DCTAutoencoderFeatureExtractor:
         use_fused = self.use_fused_kernel
 
         def tokens_of(ims):
-            """(B, c, h, w) RGB -> (B, ph*pw, c, p*p) cropped DCT patch tokens."""
+            """(B, c, h, w) RGB -> (B, ph*pw, c, p*p) cropped DCT patch tokens.
+
+            uint8 input is converted on device (x/255) — ship bytes, not
+            floats: 4x less host->device transfer."""
+            if ims.dtype == jnp.uint8:
+                ims = ims.astype(jnp.float32) / 255.0
             if use_fused == "pallas":
                 from ..kernels.dct_patchify import fused_ipt_dct_patchify
 

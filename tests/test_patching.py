@@ -147,3 +147,15 @@ def test_token_serde_roundtrip():
     dp, codes_back = from_dict(objs[0])
     assert isinstance(dp, DCTPatches)
     assert codes_back.shape[0] == len(objs[0]["codes"])
+
+
+def test_uint8_input_matches_float():
+    """uint8 images convert on device; results match float input exactly."""
+    rng = np.random.default_rng(11)
+    proc = make_proc(patch_size=8, max_patch=8)
+    im8 = rng.integers(0, 256, size=(3, 32, 32), dtype=np.uint8)
+    imf = im8.astype(np.float32) / 255.0
+    d8 = proc.preprocess(im8)
+    df = proc.preprocess(imf)
+    np.testing.assert_allclose(d8["patches"], df["patches"], atol=1e-5)
+    np.testing.assert_array_equal(d8["positions"], df["positions"])
