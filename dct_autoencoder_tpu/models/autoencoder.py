@@ -115,7 +115,7 @@ class DCTAutoencoderModule(nn.Module):
         feats = feats + self._pos_embedding("encoder", x)
 
         attn = self._attn_context(x)
-        feats = self.encoder(feats, attn)
+        feats = self.encoder(feats, attn, deterministic=not training)
 
         mask = ~x.key_pad_mask
         if self.config.vq_type == "vq":

@@ -91,7 +91,9 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, attn: AttentionContext) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, attn: AttentionContext, deterministic: bool = True
+    ) -> jnp.ndarray:
         cfg = self.config
         d = cfg.hidden_size
         h = cfg.num_attention_heads
@@ -117,6 +119,10 @@ class MultiHeadAttention(nn.Module):
             ) * scale
             logits = logits + attn.xla_bias()
             weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+            if cfg.attention_dropout > 0.0:
+                weights = nn.Dropout(rate=cfg.attention_dropout)(
+                    weights, deterministic=deterministic
+                )
             out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
         out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, s, d)
@@ -128,20 +134,26 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, attn: AttentionContext) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, attn: AttentionContext, deterministic: bool = True
+    ) -> jnp.ndarray:
         cfg = self.config
         act = _ACTS[cfg.hidden_act]
         ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name=name)
 
         residual = x
         x = ln("layer_norm1")(x)
-        x = MultiHeadAttention(cfg, dtype=self.dtype, name="self_attn")(x, attn)
+        x = MultiHeadAttention(cfg, dtype=self.dtype, name="self_attn")(
+            x, attn, deterministic=deterministic
+        )
         x = residual + x
 
         residual = x
         x = ln("layer_norm2")(x)
         x = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(x)
         x = act(x)
+        if cfg.dropout > 0.0:
+            x = nn.Dropout(rate=cfg.dropout)(x, deterministic=deterministic)
         x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(x)
         return residual + x
 
@@ -153,14 +165,18 @@ class TransformerEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, attn: AttentionContext) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, attn: AttentionContext, deterministic: bool = True
+    ) -> jnp.ndarray:
         layer_cls = EncoderLayer
         if self.config.remat:
-            # static_argnums: AttentionContext's meta fields are static; the
-            # pytree itself is a valid traced arg, so only x is saved
-            layer_cls = nn.remat(EncoderLayer)
+            # static_argnums: deterministic is static; AttentionContext's meta
+            # fields are static; the pytree itself is a valid traced arg
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(2,))
         for i in range(self.config.num_hidden_layers):
-            x = layer_cls(self.config, dtype=self.dtype, name=f"layers_{i}")(x, attn)
+            x = layer_cls(self.config, dtype=self.dtype, name=f"layers_{i}")(
+                x, attn, deterministic
+            )
         return x
 
 

@@ -257,3 +257,32 @@ def test_remat_matches_no_remat():
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_dropout_active_in_training():
+    cfg = tiny_config("lfq")
+    cfg.encoder_config.dropout = 0.5
+    cfg.encoder_config.attention_dropout = 0.3
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(12)
+    batch = make_batch(proc, rng)
+    batch = model.normalize_(batch)
+
+    out_eval = model.module.apply({"params": model.params}, batch, training=False)
+    out_eval2 = model.module.apply({"params": model.params}, batch, training=False)
+    np.testing.assert_array_equal(
+        np.asarray(out_eval["codes"]), np.asarray(out_eval2["codes"])
+    )
+
+    # training mode with different dropout rngs -> different activations
+    o1 = model.module.apply(
+        {"params": model.params}, batch, training=True,
+        rngs={"dropout": jax.random.PRNGKey(0)},
+    )
+    o2 = model.module.apply(
+        {"params": model.params}, batch, training=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert not np.allclose(
+        np.asarray(o1["dct_patches"].patches), np.asarray(o2["dct_patches"].patches)
+    )
