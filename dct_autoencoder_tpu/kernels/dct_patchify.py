@@ -23,7 +23,6 @@ fused-front-end design point.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -18,14 +18,12 @@ from __future__ import annotations
 
 import json
 import os
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
-from flax.core import freeze, unfreeze
 
 from ..ops.stats import compute_entropy_loss
 from ..patches.container import DCTPatches

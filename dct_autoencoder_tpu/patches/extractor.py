@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import math
 import random as _random
-from functools import partial
 from typing import Iterable, List, Optional, Sequence, Tuple
 
 import jax

@@ -20,9 +20,8 @@ import numpy as np
 from .models.autoencoder import DCTAutoencoder
 from .models.config import DCTAutoencoderConfig
 from .models.factory import get_model_and_processor
-from .patches.container import DCTPatches, from_dict, to_dict
+from .patches.container import from_dict, to_dict
 from .patches.extractor import DCTAutoencoderFeatureExtractor
-from .patches.packing import batch_groups, group_patches_by_max_seq_len
 
 
 class DCTPipeline:

@@ -13,7 +13,7 @@ writes its shard, restore re-shards to the current topology.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import jax
 import orbax.checkpoint as ocp

@@ -11,7 +11,6 @@ periodic side-by-side image grids (out/<timestamp>/).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import datetime
 import json
 import os
@@ -24,7 +23,6 @@ from ..data.dataset import batched, load_and_transform_dataset, load_preprocesse
 from ..models.config import DCTAutoencoderConfig
 from ..models.factory import get_model_and_processor
 from ..train.loop import train, train_patch_norm
-from ..train.losses import DEFAULT_LOSS_WEIGHTS
 
 
 def create_output_directory(base: str = "out") -> str:

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
 import jax
@@ -31,7 +30,6 @@ from ..parallel.mesh import (
     batch_sharding,
     make_mesh,
     pad_batch_rows,
-    param_sharding,
     replicated,
 )
 from ..patches.container import DCTPatches
@@ -172,10 +170,12 @@ def train_patch_norm(
     proc.max_seq_len = proc.max_patch_h * proc.max_patch_w * proc.channels
 
     state = model.patchnorm
+    n_seen = 0
     try:
         for i, batch in enumerate(proc.iter_batches(data_iter, batch_size)):
             if i >= steps:
                 break
+            n_seen += 1
             state, out = calibrate_patchnorm_batch(state, batch)
             valid = ~np.asarray(batch.key_pad_mask)
             vals = np.asarray(out)[valid]
@@ -186,6 +186,11 @@ def train_patch_norm(
     finally:
         proc.sample_patches_beta = og_beta
         proc.max_seq_len = og_max
+    if n_seen == 0:
+        log(
+            "WARNING: norm calibration saw ZERO batches — stats are untrained "
+            "(check the resolution filter: images below 12x patch_size are dropped)"
+        )
     model.patchnorm = state
     return state
 
@@ -233,6 +238,7 @@ def train(
 
         t0 = time.time()
         n_data = mesh.shape["data"]
+        i = -1
         for i, batch in enumerate(proc.iter_batches(data_iter, batch_size)):
             if i >= max_iters:
                 break
@@ -284,6 +290,13 @@ def train(
                 model.save_pretrained(f"{out_dir}/model")
                 save_train_state(out_dir, state, model.patchnorm)
 
+    if i < 0:
+        log(
+            {
+                "error": "training stream produced ZERO batches — check the "
+                "resolution filter (min 12x patch_size) and dataset paths"
+            }
+        )
     model.params = state.params
     if out_dir:
         from .checkpoint import save_train_state
