@@ -61,3 +61,19 @@ def unflatten_zigzag(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Inverse of flatten_zigzag (reference util.py:298-311)."""
     perm = jnp.asarray(zigzag(h, w).reshape(-1))
     return jnp.take(x, perm, axis=-1).reshape(*x.shape[:-1], h, w)
+
+
+class ZigzagFlattener:
+    """Stateful (h, w)-bound zigzag helper (reference util.py:314-331)."""
+
+    def __init__(self, h: int, w: int):
+        self.h = h
+        self.w = w
+        self.zigzag = zigzag(h, w)
+
+    def flatten(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert x.shape[-2] == self.h and x.shape[-1] == self.w
+        return flatten_zigzag(x)
+
+    def unflatten(self, x: jnp.ndarray) -> jnp.ndarray:
+        return unflatten_zigzag(x, self.h, self.w)

@@ -40,6 +40,7 @@ def main(
     train_state_resume_path: Optional[str] = None,
     dtype: str = "bfloat16",
     batch_size: int = 32,
+    epochs: int = 1,
     train_norm_iters: int = 10,
     max_iters: int = 10000,
     sample_patches_beta: float = 0.02,
@@ -131,10 +132,16 @@ def main(
         import jax
 
         jax.profiler.start_trace(profile_dir)
+
+    def epoch_stream():
+        # re-open the (shuffled) stream each epoch (reference main.py:174-181)
+        for _ in range(max(epochs, 1)):
+            yield from batched(make_data(), batch_size)
+
     model, state = train(
         model,
         processor,
-        batched(make_data(), batch_size),
+        epoch_stream(),
         batch_size=batch_size,
         learning_rate=learning_rate,
         max_iters=max_iters,
