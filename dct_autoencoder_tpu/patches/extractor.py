@@ -413,9 +413,11 @@ class DCTAutoencoderFeatureExtractor:
         if key not in self._postproc_cache:
 
             @jax.jit
-            def fn(dct_img):
-                canvas = jnp.zeros((self.channels, h, w), dtype=jnp.float32)
-                canvas = canvas.at[:, :ch, :cw].set(dct_img.astype(jnp.float32))
+            def fn(dct_imgs):
+                # (B, c, ch, cw) batched canvases
+                b = dct_imgs.shape[0]
+                canvas = jnp.zeros((b, self.channels, h, w), dtype=jnp.float32)
+                canvas = canvas.at[:, :, :ch, :cw].set(dct_imgs.astype(jnp.float32))
                 px = idct2(canvas)
                 return ipt_to_rgb(px)
 
@@ -428,11 +430,22 @@ class DCTAutoencoderFeatureExtractor:
         Zero-pads each reconstructed DCT plane back to the original image size,
         runs the inverse DCT at that size, and converts IPT -> RGB
         (reference feature_extraction...py:289-310).
+
+        Images sharing a (canvas, original) shape are batched into one device
+        call (the common case under size bucketing).
         """
         dct_images = self.revert_patching(x)
-        images = []
-        for dct_img, (h, w) in zip(dct_images, x.original_sizes):
-            ih, iw = dct_img.shape[-2:]
+        # group image indices by (canvas shape, original size)
+        groups: dict = {}
+        for i, (dct_img, (h, w)) in enumerate(zip(dct_images, x.original_sizes)):
+            key = (dct_img.shape[-2], dct_img.shape[-1], h, w)
+            groups.setdefault(key, []).append(i)
+
+        images: List[Optional[np.ndarray]] = [None] * len(dct_images)
+        for (ih, iw, h, w), idxs in groups.items():
             fn = self._get_postproc_fn(ih, iw, h, w)
-            images.append(np.asarray(fn(dct_img)))
-        return images
+            stack = np.stack([dct_images[i] for i in idxs])
+            out = np.asarray(fn(stack))
+            for j, i in enumerate(idxs):
+                images[i] = out[j]
+        return images  # type: ignore[return-value]
