@@ -184,3 +184,47 @@ def test_extractor_fused_matches_jnp_path():
     np.testing.assert_allclose(d_pl["patches"], d_jnp["patches"], atol=1e-3)
     np.testing.assert_array_equal(d_pl["positions"], d_jnp["positions"])
     np.testing.assert_array_equal(d_pl["channels"], d_jnp["channels"])
+
+
+def test_fused_idct_unpatchify_matches_jnp():
+    """Inverse fused kernel == zero-pad -> idct2 -> ipt_to_rgb."""
+    from dct_autoencoder_tpu.kernels.idct_unpatchify import fused_idct_unpatchify_rgb
+    from dct_autoencoder_tpu.ops.colorspace import ipt_to_rgb
+    from dct_autoencoder_tpu.ops.dct import idct2
+
+    rng = np.random.default_rng(3)
+    b, ch, cw = 2, 40, 56
+    out_h, out_w = 43, 61
+    y = rng.standard_normal((b, 3, ch, cw)).astype(np.float32) * 0.2
+
+    got = np.asarray(
+        fused_idct_unpatchify_rgb(jnp.asarray(y), out_h, out_w, interpret=True)
+    )
+
+    canvas = np.zeros((b, 3, out_h, out_w), dtype=np.float32)
+    canvas[:, :, :ch, :cw] = y
+    want = np.asarray(ipt_to_rgb(idct2(jnp.asarray(canvas))))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_fused_kernels_are_inverses():
+    """forward fused kernel -> inverse fused kernel reproduces the image."""
+    from dct_autoencoder_tpu.kernels.dct_patchify import fused_ipt_dct_patchify
+    from dct_autoencoder_tpu.kernels.idct_unpatchify import fused_idct_unpatchify_rgb
+
+    rng = np.random.default_rng(4)
+    b, h, w, p = 1, 40, 56, 8
+    x = rng.uniform(0.1, 0.9, size=(b, 3, h, w)).astype(np.float32)
+
+    tokens = fused_ipt_dct_patchify(jnp.asarray(x), p, h, w, interpret=True)
+    ph, pw = h // p, w // p
+    planes = (
+        np.asarray(tokens)
+        .reshape(b, ph, pw, 3, p, p)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(b, 3, h, w)
+    )
+    back = np.asarray(
+        fused_idct_unpatchify_rgb(jnp.asarray(planes), h, w, interpret=True)
+    )
+    np.testing.assert_allclose(back, x, atol=2e-3)
