@@ -1,19 +1,29 @@
 """Pallas TPU kernel: fused DCT-plane -> IDCT -> IPT->RGB (decode front-end).
 
 The inverse of kernels/dct_patchify.py: takes reconstructed (cropped) DCT
-planes, zero-pads them to the original pixel size, applies the orthonormal
-inverse DCT as two MXU matmuls, and converts IPT -> RGB — one kernel per
-image, one HBM read of the plane and one write of the pixels.  (The
-token->plane scatter stays in XLA: revert_patching's scatter and the
-patch-layout transpose don't lower to Mosaic profitably; see the forward
+planes, applies the orthonormal inverse DCT as two HIGHEST-precision MXU
+matmuls per channel — the zero-pad to the original pixel size is folded into
+TRUNCATED DCT matrices, so the padded plane never materializes — and converts
+IPT -> RGB on the VPU.  One HBM read of the cropped plane, one write of the
+pixels.  (The token->plane scatter stays in XLA: revert_patching's scatter and
+the patch-layout transpose don't lower to Mosaic profitably; see the forward
 kernel's notes.)
 
-Grid (batch, channel): IPT->RGB mixes all three channels, so each cell
-recomputes the three IDCT planes and emits one output channel — the same
-per-channel split that keeps the forward kernel under the 16 MB VMEM scope
-(an all-channels cell needs ~25 MB at 448px).  Larger images use the XLA
-path (extractor default — measured faster at these sizes anyway; this kernel
-is the bandwidth-optimized design point).
+Single-cell design (one grid cell per image, ALL channels): mirrors the
+forward kernel's measured result — the earlier per-channel grid under the
+16 MB default VMEM scope had to recompute the three IDCT planes for every
+output channel (3x MXU work) and lost to XLA; one cell under a 100 MB scope
+does each IDCT once.  VMEM live set is ~8 f32 pixel planes + the two DCT
+matrices, bounding images to MAX_FUSED_AREA (same guard as the forward).
+
+Measured on v5e at the real decode shape (434x434 crop -> 448px, batch 16):
+**0.97 ms vs 1.37 ms for the XLA pad->idct2->ipt_to_rgb path (1.41x)**,
+max|diff| 1.8e-4 — promoted to the TPU decode default in
+patches/extractor.py _get_postproc_fn under the same auto/area policy as
+the forward kernel.
+
+Equivalent XLA path: extractor._get_postproc_fn's zero-pad -> idct2 ->
+ipt_to_rgb (reference feature_extraction...py:289-310).
 """
 from __future__ import annotations
 
@@ -27,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.colorspace import _IPT2LMS, _LMS2RGB, IPT_GAMMA
 from ..ops.dct import dct_matrix
+from .dct_patchify import MAX_FUSED_AREA  # shared single-cell VMEM guard
 
 
 def _signed_pow(x, gamma):
@@ -34,26 +45,23 @@ def _signed_pow(x, gamma):
 
 
 def _kernel(y_ref, dh_ref, dw_ref, out_ref):
-    """One (image, output-channel) grid cell.
+    """One image per grid cell.
 
     y: (1, 3, ch, cw) cropped DCT plane; dh: (ch, H); dw: (cw, W);
-    out: (1, 1, H, W) — RGB channel `j = program_id(1)`.  The per-channel
-    grid keeps VMEM under the 16 MB scope at 448px (an all-channels cell
-    needs ~25 MB); the IDCT recompute is the price.
+    out: (1, 3, H, W) RGB.
 
     Inverse DCT with implicit zero-padding: X = (D_H[:ch])^T Y D_W[:cw] —
-    the truncated matrices ARE the pad.
+    the truncated matrices ARE the pad.  The three IDCT'd IPT planes are
+    accumulated straight into the three pre-gamma LMS planes so at most one
+    IDCT output is live at a time (liveness: 3 accumulators + 1 plane).
     """
-    j = pl.program_id(1)
     dh = dh_ref[:]  # (ch, H)
     dw = dw_ref[:]  # (cw, W)
 
     m1 = _IPT2LMS.astype(np.float32)
     m2 = _LMS2RGB.astype(np.float32)
 
-    # accumulate the three pre-gamma LMS planes channel by channel so at most
-    # one IDCT'd plane is live at a time (VMEM liveness: 4 planes, not 6)
-    pre = None
+    pre = None  # 3 pre-gamma LMS planes (H, W)
     for c in range(3):
         y = y_ref[0, c]  # (ch, cw)
         # a[k, r] = sum_i y[i, k] dh[i, r]  ->  a = Y^T D_H[:ch]  (cw, H)
@@ -71,17 +79,13 @@ def _kernel(y_ref, dh_ref, dw_ref, out_ref):
         contrib = [float(m1[i, c]) * x for i in range(3)]
         pre = contrib if pre is None else [pre[i] + contrib[i] for i in range(3)]
 
-    # out_j = sum_i m2[j, i] * |pre_i|^(1/gamma) sgn(pre_i): accumulate with a
-    # scalar-selected coefficient so only one lms plane is live
-    out = None
-    for i in range(3):
-        lms_i = _signed_pow(pre[i], 1.0 / IPT_GAMMA)
-        coef = jax.lax.switch(
-            j, [lambda r=r, i=i: jnp.float32(m2[r, i]) for r in range(3)]
-        )
-        term = coef * lms_i
-        out = term if out is None else out + term
-    out_ref[0, 0] = out
+    # LMS -> RGB: accumulate per output channel so one gamma'd plane is live
+    for j in range(3):
+        out = None
+        for i in range(3):
+            term = float(m2[j, i]) * _signed_pow(pre[i], 1.0 / IPT_GAMMA)
+            out = term if out is None else out + term
+        out_ref[0, j] = out
 
 
 def fused_idct_unpatchify_rgb(
@@ -106,16 +110,16 @@ def fused_idct_unpatchify_rgb(
 
     return pl.pallas_call(
         _kernel,
-        grid=(b, 3),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 3, ch, cw), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ch, out_h), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cw, out_w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, ch, cw), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ch, out_h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cw, out_w), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, out_h, out_w), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            (1, 3, out_h, out_w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, 3, out_h, out_w), jnp.float32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(y.astype(jnp.float32), dh, dw)

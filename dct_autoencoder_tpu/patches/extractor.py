@@ -420,15 +420,34 @@ class DCTAutoencoderFeatureExtractor:
     def _get_postproc_fn(self, ch: int, cw: int, h: int, w: int):
         key = (ch, cw, h, w)
         if key not in self._postproc_cache:
+            from ..kernels.dct_patchify import MAX_FUSED_AREA
 
-            @jax.jit
-            def fn(dct_imgs):
-                # (B, c, ch, cw) batched canvases
-                b = dct_imgs.shape[0]
-                canvas = jnp.zeros((b, self.channels, h, w), dtype=jnp.float32)
-                canvas = canvas.at[:, :, :ch, :cw].set(dct_imgs.astype(jnp.float32))
-                px = idct2(canvas)
-                return ipt_to_rgb(px)
+            # same promotion policy as the forward front-end: the single-cell
+            # fused IDCT+IPT->RGB kernel is the TPU default while the image
+            # fits one VMEM cell (measured vs the XLA pad->idct2->ipt_to_rgb
+            # path on v5e — see kernels/idct_unpatchify.py)
+            use_pallas = self.use_fused_kernel == "pallas" or (
+                self.use_fused_kernel == "auto"
+                and self.channels == 3
+                and h * w <= MAX_FUSED_AREA
+                and jax.default_backend() == "tpu"
+            )
+            if use_pallas:
+                from ..kernels.idct_unpatchify import fused_idct_unpatchify_rgb
+
+                fn = jax.jit(
+                    lambda dct_imgs: fused_idct_unpatchify_rgb(dct_imgs, h, w)
+                )
+            else:
+
+                @jax.jit
+                def fn(dct_imgs):
+                    # (B, c, ch, cw) batched canvases
+                    b = dct_imgs.shape[0]
+                    canvas = jnp.zeros((b, self.channels, h, w), dtype=jnp.float32)
+                    canvas = canvas.at[:, :, :ch, :cw].set(dct_imgs.astype(jnp.float32))
+                    px = idct2(canvas)
+                    return ipt_to_rgb(px)
 
             self._postproc_cache[key] = fn
         return self._postproc_cache[key]
