@@ -81,7 +81,10 @@ class DCTAutoencoderModule(nn.Module):
                 num_codebooks=cfg.vq_num_codebooks,
             )
         elif cfg.vq_type == "vq":
-            # reference settings: modeling_dct_autoencoder.py:77
+            # reference settings: modeling_dct_autoencoder.py:77 —
+            # kmeans_init=True, sample_codebook_temp=20, codebook_dim=16,
+            # learnable_codebook=True (gradient codebook), affine_param=True,
+            # ema_update=False, threshold_ema_dead_code=15
             self.vq_model = VectorQuantize(
                 dim=feature_dim,
                 codebook_size=cfg.vq_codebook_size,
@@ -89,6 +92,8 @@ class DCTAutoencoderModule(nn.Module):
                 codebook_dim=16,
                 sample_codebook_temp=20.0,
                 affine_param=True,
+                kmeans_init=True,
+                threshold_ema_dead_code=15.0,
             )
         else:
             raise ValueError(cfg.vq_type)
@@ -106,8 +111,15 @@ class DCTAutoencoderModule(nn.Module):
 
     def encode(
         self, dct_patches: DCTPatches, training: bool = True
-    ) -> Tuple[DCTPatches, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Normalized patches -> quantized features (reference modeling...py:129-155)."""
+    ) -> Tuple[DCTPatches, jnp.ndarray, jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+        """Normalized patches -> quantized features (reference modeling...py:129-155).
+
+        Returns (patches, codes, commit_loss, distances, vq_z).  vq_z is the
+        pre-quantization projection (b, s, heads, codebook_dim) in VQ mode
+        (feeding k-means init / dead-code expiry in the train step), None for
+        LFQ.  In VQ mode an rng in the 'vq' stream enables gumbel sampling at
+        temperature 20 (reference vector_quantize.py:61-98); pass
+        rngs={'vq': key} to apply."""
         x = dct_patches
         feats = self.patch_embed_norm(self.patch_embed_linear(x.patches.astype(self.dtype)))
         feats = feats + self._pos_embedding("encoder", x)
@@ -116,14 +128,18 @@ class DCTAutoencoderModule(nn.Module):
         feats = self.encoder(feats, attn, deterministic=not training)
 
         mask = ~x.key_pad_mask
+        vq_z = None
         if self.config.vq_type == "vq":
-            feats, codes, commit_loss = self.vq_model(feats, mask=mask, training=training)
+            rng = self.make_rng("vq") if self.has_rng("vq") else None
+            feats, codes, commit_loss, vq_z = self.vq_model(
+                feats, mask=mask, training=training, rng=rng
+            )
             distances = jnp.zeros((), dtype=feats.dtype)
         else:
             feats, codes, commit_loss, distances = self.vq_model(
                 feats, mask=mask, training=training
             )
-        return x.replace(patches=feats), codes, commit_loss, distances
+        return x.replace(patches=feats), codes, commit_loss, distances, vq_z
 
     def _attn_context(self, x: DCTPatches) -> AttentionContext:
         return AttentionContext(
@@ -149,14 +165,17 @@ class DCTAutoencoderModule(nn.Module):
         return self.decode(dct_patches.replace(patches=feats))
 
     def __call__(self, dct_patches: DCTPatches, training: bool = True) -> Dict[str, Any]:
-        x, codes, commit_loss, distances = self.encode(dct_patches, training=training)
+        x, codes, commit_loss, distances, vq_z = self.encode(dct_patches, training=training)
         x = self.decode(x)
-        return dict(
+        out = dict(
             dct_patches=x,
             commit_loss=commit_loss,
             codes=codes,
             distances=distances,
         )
+        if vq_z is not None:
+            out["vq_z"] = vq_z
+        return out
 
 
 class DCTAutoencoder:
@@ -181,6 +200,8 @@ class DCTAutoencoder:
             config.image_channels, config.max_patch_h, config.max_patch_w, config.patch_dim
         )
         self.patchnorm_frozen = True
+        # non-param model state: VQ EMA affine/usage stats ({} for LFQ)
+        self.vq_stats: Dict[str, Any] = {}
         if params is None:
             params = self.init_params(jax.random.PRNGKey(seed))
         self.params = params
@@ -197,7 +218,9 @@ class DCTAutoencoder:
             patch_channels=jnp.zeros((1, s), dtype=jnp.int32),
             patch_positions=jnp.zeros((1, s, 2), dtype=jnp.int32),
         )
-        return self.module.init(rng, dummy, training=False)["params"]
+        variables = self.module.init(rng, dummy, training=False)
+        self.vq_stats = variables.get("vq_stats", {})
+        return variables["params"]
 
     @property
     def n_params(self) -> int:
@@ -220,23 +243,31 @@ class DCTAutoencoder:
     # ----------------------------------------------------------------- apply
 
     def _jitted(self, name: str, training: bool):
+        # vq_stats ride along read-only (they parameterize the VQ affine
+        # transform at inference; empty dict for LFQ)
         key = (name, training)
         if key not in self._jit_cache:
             if name == "forward":
-                fn = lambda params, batch: self.module.apply(
-                    {"params": params}, batch, training=training
+                fn = lambda params, vq_stats, batch: self.module.apply(
+                    {"params": params, "vq_stats": vq_stats}, batch, training=training
                 )
             elif name == "encode":
-                fn = lambda params, batch: self.module.apply(
-                    {"params": params}, batch, training=training, method="encode"
+                fn = lambda params, vq_stats, batch: self.module.apply(
+                    {"params": params, "vq_stats": vq_stats},
+                    batch,
+                    training=training,
+                    method="encode",
                 )
             elif name == "decode":
-                fn = lambda params, batch: self.module.apply(
-                    {"params": params}, batch, method="decode"
+                fn = lambda params, vq_stats, batch: self.module.apply(
+                    {"params": params, "vq_stats": vq_stats}, batch, method="decode"
                 )
             elif name == "decode_from_codes":
-                fn = lambda params, codes, batch: self.module.apply(
-                    {"params": params}, codes, batch, method="decode_from_codes"
+                fn = lambda params, vq_stats, codes, batch: self.module.apply(
+                    {"params": params, "vq_stats": vq_stats},
+                    codes,
+                    batch,
+                    method="decode_from_codes",
                 )
             else:
                 raise KeyError(name)
@@ -244,19 +275,21 @@ class DCTAutoencoder:
         return self._jit_cache[key]
 
     def forward(self, batch: DCTPatches, training: bool = False) -> Dict[str, Any]:
-        return self._jitted("forward", training)(self.params, batch)
+        return self._jitted("forward", training)(self.params, self.vq_stats, batch)
 
     __call__ = forward
 
     def encode(self, batch: DCTPatches, training: bool = False):
-        return self._jitted("encode", training)(self.params, batch)
+        return self._jitted("encode", training)(self.params, self.vq_stats, batch)
 
     def decode(self, batch: DCTPatches) -> DCTPatches:
-        return self._jitted("decode", False)(self.params, batch)
+        return self._jitted("decode", False)(self.params, self.vq_stats, batch)
 
     def decode_from_codes(self, codes: jnp.ndarray, **dct_patches_kwargs) -> DCTPatches:
         x = DCTPatches(patches=jnp.zeros(()), **dct_patches_kwargs)
-        return self._jitted("decode_from_codes", False)(self.params, codes, x)
+        return self._jitted("decode_from_codes", False)(
+            self.params, self.vq_stats, codes, x
+        )
 
     def entropy_loss(self, distances: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         return compute_entropy_loss(distances, mask)
@@ -276,6 +309,12 @@ class DCTAutoencoder:
             median=np.asarray(self.patchnorm.median),
             b=np.asarray(self.patchnorm.b),
         )
+        if self.vq_stats:
+            flat_vq = jax.tree_util.tree_flatten_with_path(self.vq_stats)[0]
+            np.savez(
+                os.path.join(path, "vq_stats.npz"),
+                **{self._path_str(p): np.asarray(v) for p, v in flat_vq},
+            )
 
     @staticmethod
     def _path_str(path) -> str:
@@ -308,4 +347,16 @@ class DCTAutoencoder:
             model.patchnorm = PatchNormState(
                 n=jnp.asarray(pn["n"]), median=jnp.asarray(pn["median"]), b=jnp.asarray(pn["b"])
             )
+        vq_path = os.path.join(path, "vq_stats.npz")
+        if os.path.exists(vq_path) and model.vq_stats:
+            loaded_vq = np.load(vq_path)
+            flat_vq, treedef_vq = jax.tree_util.tree_flatten_with_path(model.vq_stats)
+            leaves = []
+            for p, old in flat_vq:
+                key = cls._path_str(p)
+                if key in loaded_vq and loaded_vq[key].shape == old.shape:
+                    leaves.append(jnp.asarray(loaded_vq[key]))
+                else:
+                    leaves.append(old)
+            model.vq_stats = jax.tree_util.tree_unflatten(treedef_vq, leaves)
         return model

@@ -1,21 +1,36 @@
 """Classic vector quantization (the reference's `vq_type='vq'` option).
 
 The reference vendors vector-quantize-pytorch (reference:
-dct_autoencoder/vector_quantize.py:680-1050) and instantiates it with a
-learnable (gradient-trained) codebook, 16-dim codes, multi-head lookup into a
-shared codebook, and stochastic code sampling at temperature 20
+dct_autoencoder/vector_quantize.py:680-1050) and instantiates it as
+`VectorQuantize(dim, codebook_size, heads=16, kmeans_init=True,
+sample_codebook_temp=20.0, codebook_dim=16, learnable_codebook=True,
+affine_param=True, ema_update=False, threshold_ema_dead_code=15)`
 (reference: modeling_dct_autoencoder.py:77).  This is a TPU-first re-design,
 not a port:
 
   * distances/quantization are one MXU matmul per batch (`-2 x.C^T` trick);
-  * the codebook trains by gradient (codebook + commitment terms), which is
-    the natural JAX formulation — no in-place buffer mutation;
-  * EMA codebook updates, k-means init, and dead-code expiry (the reference's
-    other operating modes, vector_quantize.py:239-507) are provided as pure
-    functional state updates;
+  * the codebook trains by gradient (learnable_codebook=True/ema_update=False
+    — exactly the reference's instantiation), the natural JAX formulation;
+  * affine re-parameterization tracks EMA batch/codebook mean+variance in a
+    flax `vq_stats` variable collection (reference vector_quantize.py:383-409)
+    — apply with `mutable=['vq_stats']` during training;
+  * per-code EMA usage (`cluster_size`) is tracked the same way so dead codes
+    (usage < threshold_ema_dead_code) can be expired; the codebook surgery
+    itself (k-means init from the first batch, dead-code replacement) is a
+    pure-functional param update done by the train step
+    (train/loop.py make_train_step), since flax params are immutable inside
+    apply — the JAX counterpart of the reference's in-place buffer writes
+    (vector_quantize.py:180-220, 489-507);
+  * stochastic code sampling (gumbel at temperature 20,
+    vector_quantize.py:61-98) fires when an rng reaches __call__ — pass
+    `rngs={'vq': key}` to apply;
+  * standalone functional EMA-codebook machinery (the reference's OTHER
+    operating mode, ema_update=True) is provided at the bottom of this file;
   * distributed codebook statistics use `jax.lax.psum` over a named mesh axis
     instead of torch.distributed all_reduce (reference vector_quantize.py:
-    135-171, 489-494) — pass `sync_axis` inside shard_map/pjit.
+    135-171, 489-494) — pass `sync_axis` inside shard_map/pjit.  Under plain
+    pjit with globally-sharded inputs the batch statistics are already
+    global, so sync_axis is only needed inside shard_map.
 """
 from __future__ import annotations
 
@@ -49,10 +64,20 @@ class VectorQuantize(nn.Module):
     # one codebook per head instead of a shared one
     # (reference vector_quantize.py separate_codebook_per_head)
     separate_codebook_per_head: bool = False
-    # affine codebook re-parameterization: learnable per-dim scale/shift on
-    # the codebook (gradient-trained analogue of the reference's EMA-tracked
-    # batch/codebook statistic rescaling, vector_quantize.py:383-409)
+    # affine codebook re-parameterization with EMA-tracked batch/codebook
+    # mean+variance (reference vector_quantize.py:340-409): the codebook is
+    # standardized by its own running stats and rescaled to the batch's.
+    # Stats live in the 'vq_stats' variable collection.
     affine_param: bool = False
+    affine_param_batch_decay: float = 0.99
+    affine_param_codebook_decay: float = 0.9
+    # k-means init + dead-code expiry (reference modeling...py:77 passes
+    # kmeans_init=True, threshold_ema_dead_code=15).  The module only TRACKS
+    # EMA code usage here; the codebook surgery is the train step's job
+    # (flax params are immutable inside apply) — see train/loop.py.
+    kmeans_init: bool = False
+    threshold_ema_dead_code: float = 0.0
+    ema_cluster_decay: float = 0.8
     # || C C^T - I ||^2 penalty pushing codes apart
     # (reference vector_quantize.py orthogonal_reg_weight)
     orthogonal_reg_weight: float = 0.0
@@ -70,21 +95,81 @@ class VectorQuantize(nn.Module):
         self.codebook = self.param(
             "codebook", nn.initializers.normal(stddev=1.0), cb_shape
         )
+        d = self.codebook_dim
         if self.affine_param:
-            self.affine_scale = self.param(
-                "affine_scale", nn.initializers.ones, (self.codebook_dim,)
+            z32 = jnp.float32
+            self.v_batch_mean = self.variable(
+                "vq_stats", "batch_mean", lambda: jnp.zeros((d,), z32)
             )
-            self.affine_shift = self.param(
-                "affine_shift", nn.initializers.zeros, (self.codebook_dim,)
+            self.v_batch_variance = self.variable(
+                "vq_stats", "batch_variance", lambda: jnp.ones((d,), z32)
             )
+            self.v_codebook_mean = self.variable(
+                "vq_stats", "codebook_mean", lambda: jnp.zeros((d,), z32)
+            )
+            self.v_codebook_variance = self.variable(
+                "vq_stats", "codebook_variance", lambda: jnp.ones((d,), z32)
+            )
+        if self.threshold_ema_dead_code > 0:
+            self.v_cluster_size = self.variable(
+                "vq_stats",
+                "cluster_size",
+                lambda: jnp.zeros(cb_shape[:-1], jnp.float32),
+            )
+
+    def _affine_stats(self):
+        eps = 1e-5
+        cb_std = jnp.sqrt(self.v_codebook_variance.value + eps)
+        b_std = jnp.sqrt(self.v_batch_variance.value + eps)
+        return self.v_codebook_mean.value, cb_std, self.v_batch_mean.value, b_std
 
     def _normed_codebook(self) -> jnp.ndarray:
         cb = self.codebook
         if self.affine_param:
-            cb = cb * self.affine_scale + self.affine_shift
+            # (cb - cb_mean) / cb_std * batch_std + batch_mean
+            # (reference vector_quantize.py:411-424 affine transform)
+            cm, cs, bm, bs = self._affine_stats()
+            cb = (cb - cm) / cs * bs + bm
         if self.use_cosine_sim:
             cb = cb / (jnp.linalg.norm(cb, axis=-1, keepdims=True) + 1e-8)
         return cb
+
+    def _update_affine_stats(self, z: jnp.ndarray, mask: jnp.ndarray) -> None:
+        """EMA-update codebook stats (from the raw codebook) then batch stats
+        (from masked encoder outputs) — reference vector_quantize.py:340-409."""
+
+        def ema(var, new, decay):
+            var.value = var.value * decay + new.astype(jnp.float32) * (1 - decay)
+
+        cb = self.codebook.reshape(-1, self.codebook_dim)
+        ema(self.v_codebook_mean, cb.mean(axis=0), self.affine_param_codebook_decay)
+        ema(self.v_codebook_variance, cb.var(axis=0), self.affine_param_codebook_decay)
+
+        m = mask[..., None, None].astype(jnp.float32)  # (b, n, 1, 1)
+        denom = jnp.maximum(m.sum() * self.heads, 1.0)
+        zsum = (z.astype(jnp.float32) * m).sum(axis=(0, 1, 2))
+        if self.sync_axis is not None:
+            zsum = jax.lax.psum(zsum, self.sync_axis)
+            denom = jax.lax.psum(denom, self.sync_axis)
+        mean = zsum / denom
+        vsum = (((z.astype(jnp.float32) - mean) ** 2) * m).sum(axis=(0, 1, 2))
+        if self.sync_axis is not None:
+            vsum = jax.lax.psum(vsum, self.sync_axis)
+        ema(self.v_batch_mean, mean, self.affine_param_batch_decay)
+        ema(self.v_batch_variance, vsum / denom, self.affine_param_batch_decay)
+
+    def _update_cluster_size(self, indices: jnp.ndarray, mask: jnp.ndarray) -> None:
+        """EMA code-usage histogram feeding dead-code expiry (reference
+        vector_quantize.py:489-507 expire_codes_ machinery)."""
+        valid = mask[..., None].astype(jnp.float32)  # (b, n, 1)
+        onehot = jax.nn.one_hot(indices, self.codebook_size, dtype=jnp.float32)
+        bins = (onehot * valid[..., None]).sum(axis=(0, 1))  # (h, z)
+        if not self.separate_codebook_per_head:
+            bins = bins.sum(axis=0)  # shared codebook: all heads count
+        if self.sync_axis is not None:
+            bins = jax.lax.psum(bins, self.sync_axis)
+        d = self.ema_cluster_decay
+        self.v_cluster_size.value = self.v_cluster_size.value * d + bins * (1 - d)
 
     def indices_to_codes(self, indices: jnp.ndarray) -> jnp.ndarray:
         """(..., h) indices -> (..., dim) decoded features."""
@@ -105,17 +190,31 @@ class VectorQuantize(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         training: bool = True,
         rng: Optional[jax.Array] = None,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """x: (b, n, dim); mask: (b, n) bool, False where padding.
 
-        Returns (quantized (b, n, dim), indices (b, n, heads), loss scalar).
+        Returns (quantized (b, n, dim), indices (b, n, heads), loss scalar,
+        z (b, n, heads, codebook_dim) pre-quantization projections — the
+        train step uses z for k-means init / dead-code replacement samples).
+
+        During training, apply with `mutable=['vq_stats']` to let the EMA
+        affine/usage statistics update, and `rngs={'vq': key}` to enable
+        stochastic code sampling (gumbel at sample_codebook_temp).
         """
         b, n, _ = x.shape
         h, d = self.heads, self.codebook_dim
+        if mask is None:
+            mask = jnp.ones((b, n), dtype=bool)
+        if rng is None and self.has_rng("vq"):
+            rng = self.make_rng("vq")
 
         z = self.project_in(x).reshape(b, n, h, d)
         if self.use_cosine_sim:
             z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+
+        updating = training and self.is_mutable_collection("vq_stats")
+        if updating and self.affine_param:
+            self._update_affine_stats(z, mask)
 
         codebook = self._normed_codebook()
         if self.separate_codebook_per_head:
@@ -136,6 +235,9 @@ class VectorQuantize(nn.Module):
         else:
             indices = jnp.argmin(dists, axis=-1)
 
+        if updating and self.threshold_ema_dead_code > 0:
+            self._update_cluster_size(indices, mask)
+
         if self.separate_codebook_per_head:
             quantized = jnp.stack(
                 [codebook[i][indices[..., i]] for i in range(h)], axis=-2
@@ -144,8 +246,6 @@ class VectorQuantize(nn.Module):
             quantized = codebook[indices]  # (b, n, h, d)
 
         if training:
-            if mask is None:
-                mask = jnp.ones((b, n), dtype=bool)
             # commitment: pull encoder output toward frozen codes
             commit = (z - jax.lax.stop_gradient(quantized)) ** 2
             commit = masked_mean(commit, mask, dim=0).sum(axis=0).mean()
@@ -168,7 +268,96 @@ class VectorQuantize(nn.Module):
             zq = quantized
 
         out = self.project_out(zq.reshape(b, n, h * d))
-        return out, indices, loss
+        return out, indices, loss, z
+
+
+# --------------------------------------------------------------------------
+# Pure-functional codebook surgery used by the train step (flax params are
+# immutable inside apply; the reference writes buffers in place instead —
+# vector_quantize.py:180-220 init_embed_, :489-507 expire_codes_)
+# --------------------------------------------------------------------------
+
+
+def sample_valid_vectors(
+    z: jnp.ndarray,  # (..., d) encoder projections
+    valid: jnp.ndarray,  # (...) bool
+    m: int,
+    rng: jax.Array,
+) -> jnp.ndarray:
+    """Draw m rows uniformly from the valid entries of z (with replacement)."""
+    d = z.shape[-1]
+    flat = z.reshape(-1, d)
+    v = valid.reshape(-1).astype(jnp.float32)
+    probs = v / jnp.maximum(v.sum(), 1.0)
+    idx = jax.random.choice(rng, flat.shape[0], (m,), p=probs)
+    return flat[idx]
+
+
+def kmeans_init_from_batch(
+    codebook: jnp.ndarray,  # (z, d) or (h, z, d) param codebook
+    z: jnp.ndarray,  # (b, n, h, d) projections from the first batch
+    mask: jnp.ndarray,  # (b, n) bool valid tokens
+    rng: jax.Array,
+    iters: int = 10,
+) -> jnp.ndarray:
+    """k-means-initialize the codebook from the first batch's encoder outputs
+    (reference vector_quantize.py:180-220 via kmeans_init=True).
+
+    Runs k-means over a pool of valid samples (static pool size keeps the
+    program shape-stable).  Shared codebooks pool all heads; per-head
+    codebooks get an independent k-means per head."""
+    b, n, h, d = z.shape
+    if codebook.ndim == 2:
+        zsize = codebook.shape[0]
+        pool_m = min(b * n * h, max(4 * zsize, 4096))
+        valid = jnp.broadcast_to(mask[..., None], (b, n, h))
+        pool = sample_valid_vectors(z, valid, pool_m, rng)
+        return kmeans_init_codebook(pool, zsize, rng, iters=iters).astype(
+            codebook.dtype
+        )
+    zsize = codebook.shape[1]
+    pool_m = min(b * n, max(4 * zsize, 4096))
+
+    def per_head(zh, key):
+        pool = sample_valid_vectors(zh, mask, pool_m, key)
+        return kmeans_init_codebook(pool, zsize, key, iters=iters)
+
+    keys = jax.random.split(rng, h)
+    out = jax.vmap(per_head, in_axes=(2, 0))(z, keys)  # (h, z, d)
+    return out.astype(codebook.dtype)
+
+
+def expire_dead_codes_params(
+    codebook: jnp.ndarray,  # (z, d) or (h, z, d)
+    cluster_size: jnp.ndarray,  # (z,) or (h, z) EMA usage (vq_stats)
+    z: jnp.ndarray,  # (b, n, h, d)
+    mask: jnp.ndarray,  # (b, n)
+    rng: jax.Array,
+    threshold: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Replace codes with EMA usage < threshold by random valid batch samples
+    (reference vector_quantize.py:489-507); resets their usage to threshold
+    (the reference's reset_cluster_size default).  Returns (codebook,
+    cluster_size)."""
+    b, n, h, d = z.shape
+    if codebook.ndim == 2:
+        dead = cluster_size < threshold  # (z,)
+        valid = jnp.broadcast_to(mask[..., None], (b, n, h))
+        samples = sample_valid_vectors(z, valid, codebook.shape[0], rng)
+        new_cb = jnp.where(dead[:, None], samples.astype(codebook.dtype), codebook)
+        new_cs = jnp.where(dead, threshold, cluster_size)
+        return new_cb, new_cs
+
+    def per_head(cb_h, cs_h, zh, key):
+        dead = cs_h < threshold
+        samples = sample_valid_vectors(zh, mask, cb_h.shape[0], key)
+        return (
+            jnp.where(dead[:, None], samples.astype(cb_h.dtype), cb_h),
+            jnp.where(dead, threshold, cs_h),
+        )
+
+    keys = jax.random.split(rng, h)
+    return jax.vmap(per_head, in_axes=(0, 0, 2, 0))(codebook, cluster_size, z, keys)
 
 
 # --------------------------------------------------------------------------

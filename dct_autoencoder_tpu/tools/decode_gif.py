@@ -81,7 +81,7 @@ def main(
     d = proc.preprocess(x)
     batch = next(proc.iter_batches(iter([{k: [v] for k, v in d.items()}]), batch_size=None))
     nb = model.normalize_(batch)
-    _, codes, _, _ = model.encode(nb, training=False)
+    _, codes, _, _, _ = model.encode(nb, training=False)
 
     n_tokens = int((~np.asarray(batch.key_pad_mask)).sum())
     frames = []

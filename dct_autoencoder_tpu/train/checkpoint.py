@@ -34,6 +34,7 @@ def save_train_state(path: str, state: TrainState, patchnorm: PatchNormState) ->
         "params": state.params,
         "opt_state": state.opt_state,
         "step": state.step,
+        "vq_stats": state.vq_stats,
         "patchnorm": {"n": patchnorm.n, "median": patchnorm.median, "b": patchnorm.b},
     }
     ckptr.save(target, payload, force=True)
@@ -52,6 +53,7 @@ def load_train_state(
         "params": state_like.params,
         "opt_state": state_like.opt_state,
         "step": state_like.step,
+        "vq_stats": state_like.vq_stats,
         "patchnorm": {
             "n": patchnorm_like.n,
             "median": patchnorm_like.median,
@@ -64,6 +66,7 @@ def load_train_state(
         params=restored["params"],
         opt_state=restored["opt_state"],
         step=restored["step"],
+        vq_stats=restored.get("vq_stats", {}),
     )
     pn = PatchNormState(
         n=restored["patchnorm"]["n"],

@@ -56,6 +56,11 @@ def main(
     rec_loss: float = 0.1,
     commit_loss: float = 0.1,
     entropy_loss: float = 0.1,
+    # RGB-space MSE in the training objective (reference main.py:167, 221:
+    # decode_pixels=use_pixel_loss; terms absent from loss_weight get 1.0)
+    use_pixel_loss: bool = False,
+    pixel_loss: float = 1.0,
+    pixel_loss_max_images: int = 64,
     should_save: bool = True,
     out_base: str = "out",
 ):
@@ -67,6 +72,7 @@ def main(
         rec_loss_unnormalized=rec_loss_unnormalized,
         commit_loss=commit_loss,
         entropy_loss=entropy_loss,
+        pixel_loss=pixel_loss,
     )
 
     random.seed(seed)
@@ -148,6 +154,8 @@ def main(
         grad_accumulation_steps=grad_accumulation_steps,
         loss_weights=loss_weights,
         n_model_parallel=n_model_parallel,
+        use_pixel_loss=use_pixel_loss,
+        pixel_loss_max_images=pixel_loss_max_images,
         log_every=log_every,
         save_every=save_every,
         log_images_every=log_images_every,

@@ -43,10 +43,20 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    # non-param model state: VQ EMA affine/usage stats ({} for LFQ) — the
+    # flax 'vq_stats' variable collection threaded through the train step
+    vq_stats: Any = dataclasses.field(default_factory=dict)
 
     @staticmethod
-    def create(params: Any, tx: optax.GradientTransformation) -> "TrainState":
-        return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+    def create(
+        params: Any, tx: optax.GradientTransformation, vq_stats: Any = None
+    ) -> "TrainState":
+        return TrainState(
+            params=params,
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            vq_stats=vq_stats or {},
+        )
 
 
 def make_optimizer(
@@ -73,33 +83,115 @@ def make_optimizer(
     )
 
 
+def prepare_train_batch(
+    batch: DCTPatches,
+    pixel_loss_max_images: int = 0,
+    clip_grid: Optional[Tuple[int, int]] = None,
+):
+    """Strip per-batch-varying static metadata before the jitted train step.
+
+    patch_sizes / original_sizes / _data are static pytree aux — every distinct
+    packing layout would otherwise recompile the whole train program (fatal on
+    TPU where compiles are minutes).  The train step never reads them, and the
+    model derives attention masks from image ids, so the (b, 1, s, s) attn_mask
+    tensor is dropped too (it would otherwise ship to device every step).
+
+    With pixel_loss_max_images > 0, the per-image patch grids are returned as a
+    DEVICE ARRAY (max_images, 2) so the in-jit pixel loss can use them without
+    becoming a compile-cache key.  Returns (stripped_batch, grid_sizes|None).
+    """
+    grid_sizes = None
+    if pixel_loss_max_images:
+        from .pixel_loss import make_grid_sizes
+
+        assert clip_grid is not None
+        grid_sizes = make_grid_sizes(batch, pixel_loss_max_images, clip_grid)
+    batch = batch.replace(
+        attn_mask=None, patch_sizes=(), original_sizes=(), _data=None
+    )
+    return batch, grid_sizes
+
+
 def make_train_step(
     module: DCTAutoencoderModule,
     tx: optax.GradientTransformation,
     loss_weights: Optional[Dict[str, float]] = None,
     warmup_dict: Optional[Dict[str, int]] = None,
     accum_steps: int = 1,
+    use_pixel_loss: bool = False,
+    seed: int = 0,
+    vq_kmeans_init: bool = True,
+    vq_expire_threshold: float = 15.0,
+    vq_expire_every: int = 50,
 ) -> Callable:
     """Build the pure train-step fn (state, patchnorm, batch) -> (state, metrics).
 
     The batch arrives already normalized is NOT assumed: normalization is done
     inside the step (frozen patchnorm), so one jit program covers
     normalize -> forward -> losses -> backward -> update.
-    """
 
-    def loss_fn(params, patchnorm, batch, step):
+    use_pixel_loss=True adds the differentiable RGB pixel loss (reference
+    main.py decode_pixels=True path) and changes the step signature to
+    (state, patchnorm, batch, grid_sizes) — pass the array built by
+    prepare_train_batch.
+
+    VQ mode (config.vq_type == 'vq') additionally, all inside the one jit:
+      * threads the 'vq_stats' collection (EMA affine + code-usage stats,
+        reference vector_quantize.py:340-409) through TrainState;
+      * folds a per-step PRNG into the forward so gumbel code sampling at
+        temperature 20 actually fires (reference vector_quantize.py:61-98);
+      * k-means-initializes the codebook from the first batch's encoder
+        projections (reference kmeans_init=True; applied after step 0's
+        update — the reference initializes before quantizing that batch,
+        a one-step difference);
+      * every vq_expire_every steps replaces codes with EMA usage below
+        vq_expire_threshold by random batch samples (reference
+        threshold_ema_dead_code=15, vector_quantize.py:489-507).
+    """
+    is_vq = module.config.vq_type == "vq"
+    if use_pixel_loss:
+        assert accum_steps == 1, (
+            "pixel loss + grad accumulation unsupported: image slots are "
+            "batch-global, micro-batch rows would misalign with grid_sizes"
+        )
+    if is_vq:
+        assert accum_steps == 1, (
+            "VQ mode + grad accumulation unsupported: EMA stats update once "
+            "per step, micro-batches would double-count"
+        )
+    base_key = jax.random.PRNGKey(seed)
+
+    def loss_fn(params, vq_stats, patchnorm, batch, step, rng, grid_sizes=None):
         normalized = batch.replace(patches=apply_patchnorm(patchnorm, batch))
-        losses = step_autoencoder(module, params, patchnorm, batch, normalized, training=True)
+        losses = step_autoencoder(
+            module,
+            params,
+            patchnorm,
+            batch,
+            normalized,
+            training=True,
+            pixel_grid_sizes=grid_sizes,
+            rng=rng,
+            vq_stats=vq_stats if is_vq else None,
+        )
+        new_vq_stats = losses.pop("vq_stats", None)
+        vq_z = losses.pop("vq_z", None)
         total = weighted_total(losses, loss_weights, warmup_dict, step.astype(jnp.float32))
         metrics = {k: v for k, v in losses.items() if k not in ("codes", "rec_patches")}
         metrics["loss"] = total
-        return total, metrics
+        return total, (metrics, new_vq_stats, vq_z)
 
-    def train_step(state: TrainState, patchnorm: PatchNormState, batch: DCTPatches):
+    def train_step(
+        state: TrainState,
+        patchnorm: PatchNormState,
+        batch: DCTPatches,
+        grid_sizes: Optional[jnp.ndarray] = None,
+    ):
+        rng = jax.random.fold_in(base_key, state.step) if is_vq else None
         if accum_steps == 1:
-            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, patchnorm, batch, state.step
-            )
+            (_, (metrics, new_vq_stats, vq_z)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.vq_stats, patchnorm, batch, state.step, rng, grid_sizes)
         else:
             # micro-batch over the leading axis with a scan: grads averaged
             b = batch.patches.shape[0]
@@ -109,30 +201,96 @@ def make_train_step(
                 sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * mb, mb, axis=0)
                 micro_batch = jax.tree_util.tree_map(sl, batch)
                 return jax.value_and_grad(loss_fn, has_aux=True)(
-                    state.params, patchnorm, micro_batch, state.step
+                    state.params, state.vq_stats, patchnorm, micro_batch, state.step, rng
                 )
 
             def body(carry, i):
                 (gacc, macc) = carry
-                (_, metrics), grads = micro(i)
+                (_, (metrics, _, _)), grads = micro(i)
                 gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
                 macc = jax.tree_util.tree_map(jnp.add, macc, metrics)
                 return (gacc, macc), None
 
-            (_, m0), g0 = micro(0)
+            (_, (m0, _, _)), g0 = micro(0)
             (grads, msum), _ = jax.lax.scan(body, (g0, m0), jnp.arange(1, accum_steps))
             grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
             metrics = jax.tree_util.tree_map(lambda m: m / accum_steps, msum)
+            new_vq_stats, vq_z = None, None
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+
+        if new_vq_stats is None:
+            new_vq_stats = state.vq_stats
+        if is_vq and vq_z is not None:
+            new_params, new_vq_stats = _vq_codebook_surgery(
+                new_params,
+                new_vq_stats,
+                vq_z,
+                ~batch.key_pad_mask,
+                state.step,
+                rng,
+                kmeans_init=vq_kmeans_init,
+                expire_threshold=vq_expire_threshold,
+                expire_every=vq_expire_every,
+            )
+
         new_state = TrainState(
-            params=new_params, opt_state=new_opt_state, step=state.step + 1
+            params=new_params,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+            vq_stats=new_vq_stats,
         )
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
     return train_step
+
+
+def _vq_codebook_surgery(
+    params: Any,
+    vq_stats: Any,
+    vq_z: jnp.ndarray,  # (b, n, h, d) pre-quantization projections
+    mask: jnp.ndarray,  # (b, n) valid tokens
+    step: jnp.ndarray,
+    rng: jnp.ndarray,
+    kmeans_init: bool,
+    expire_threshold: float,
+    expire_every: int,
+) -> Tuple[Any, Any]:
+    """In-jit functional codebook surgery for VQ training (see make_train_step)."""
+    from ..models.vq import expire_dead_codes_params, kmeans_init_from_batch
+
+    cb = params["vq_model"]["codebook"]
+    rng_k, rng_e = jax.random.split(rng)
+
+    if kmeans_init:
+        cb = jax.lax.cond(
+            step == 0,
+            lambda c: kmeans_init_from_batch(c, vq_z, mask, rng_k),
+            lambda c: c,
+            cb,
+        )
+
+    if expire_threshold > 0 and expire_every > 0:
+        cs = vq_stats["vq_model"]["cluster_size"]
+
+        def do_expire(args):
+            c, s = args
+            return expire_dead_codes_params(c, s, vq_z, mask, rng_e, expire_threshold)
+
+        cb, cs = jax.lax.cond(
+            (step % expire_every) == (expire_every - 1),
+            do_expire,
+            lambda args: args,
+            (cb, cs),
+        )
+        vq_stats = dict(vq_stats)
+        vq_stats["vq_model"] = dict(vq_stats["vq_model"], cluster_size=cs)
+
+    params = dict(params)
+    params["vq_model"] = dict(params["vq_model"], codebook=cb)
+    return params, vq_stats
 
 
 def jit_train_step(
@@ -206,6 +364,8 @@ def train(
     loss_weights: Optional[Dict[str, float]] = None,
     warmup_dict: Optional[Dict[str, int]] = None,
     n_model_parallel: int = 1,
+    use_pixel_loss: bool = False,
+    pixel_loss_max_images: int = 64,
     log_every: int = 50,
     save_every: int = 1000,
     log_images_every: int = 0,
@@ -216,10 +376,15 @@ def train(
 ) -> Tuple[DCTAutoencoder, TrainState]:
     """Main training loop (reference main.py:151-280).
 
+    use_pixel_loss=True trains with the differentiable RGB pixel loss in the
+    objective (reference main.py:221, decode_pixels=use_pixel_loss); the term
+    enters the weighted sum with weight loss_weights.get('pixel_loss', 1.0),
+    matching the reference's fallback weight for terms not in loss_weight.
+
     log_images_every > 0 writes an original-vs-reconstruction grid to out_dir
     every that many steps (reference main.py:195-214)."""
     tx = make_optimizer(learning_rate, max_iters)
-    state = TrainState.create(model.params, tx)
+    state = TrainState.create(model.params, tx, model.vq_stats)
     if resume_path is not None:
         from .checkpoint import has_train_state, load_train_state
 
@@ -229,21 +394,32 @@ def train(
     mesh = make_mesh(n_model_parallel)
 
     step_fn = make_train_step(
-        model.module, tx, loss_weights, warmup_dict, grad_accumulation_steps
+        model.module,
+        tx,
+        loss_weights,
+        warmup_dict,
+        grad_accumulation_steps,
+        use_pixel_loss=use_pixel_loss,
     )
+    clip_grid = (model.config.max_patch_h, model.config.max_patch_w)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
     with mesh:
-        jitted = jax.jit(step_fn, in_shardings=(None, rep, bsh), donate_argnums=(0,))
+        jitted = jax.jit(step_fn, in_shardings=(None, rep, bsh, None), donate_argnums=(0,))
 
         t0 = time.time()
         n_data = mesh.shape["data"]
         i = -1
-        for i, batch in enumerate(proc.iter_batches(data_iter, batch_size)):
+        for i, raw_batch in enumerate(proc.iter_batches(data_iter, batch_size)):
             if i >= max_iters:
                 break
-            batch = pad_batch_rows(batch, n_data)
-            state, metrics = jitted(state, model.patchnorm, batch)
+            raw_batch = pad_batch_rows(raw_batch, n_data)
+            batch, grid_sizes = prepare_train_batch(
+                raw_batch,
+                pixel_loss_max_images if use_pixel_loss else 0,
+                clip_grid,
+            )
+            state, metrics = jitted(state, model.patchnorm, batch, grid_sizes)
 
             if i % log_every == 0:
                 metrics = {
@@ -257,7 +433,7 @@ def train(
                 metrics.update(
                     step=i,
                     sec_per_step=(time.time() - t0) / max(i, 1),
-                    images_per_batch=len(batch.original_sizes),
+                    images_per_batch=len(raw_batch.original_sizes),
                 )
                 log(metrics)
 
@@ -265,10 +441,15 @@ def train(
                 from ..tools.viz import make_image_grid
 
                 model.params = state.params
-                out = model.forward(model.normalize_(batch), training=False)
+                model.vq_stats = state.vq_stats
+                out = model.forward(model.normalize_(raw_batch), training=False)
                 rec = model.inv_normalize_(out["dct_patches"])
+                rec = rec.replace(
+                    patch_sizes=raw_batch.patch_sizes,
+                    original_sizes=raw_batch.original_sizes,
+                )
                 rec_images = proc.postprocess(rec)
-                orig_images = proc.postprocess(batch)  # batch holds raw patches
+                orig_images = proc.postprocess(raw_batch)  # raw patches
                 # RGB-space pixel MSE metric (reference main.py:95-110; here a
                 # metric only — the host-side unpatch is not differentiated)
                 pixel_loss = float(
@@ -287,6 +468,7 @@ def train(
                 from .checkpoint import save_train_state
 
                 model.params = state.params
+                model.vq_stats = state.vq_stats
                 model.save_pretrained(f"{out_dir}/model")
                 save_train_state(out_dir, state, model.patchnorm)
 
@@ -298,6 +480,7 @@ def train(
             }
         )
     model.params = state.params
+    model.vq_stats = state.vq_stats
     if out_dir:
         from .checkpoint import save_train_state
 

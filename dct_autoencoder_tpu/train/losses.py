@@ -41,9 +41,37 @@ def step_autoencoder(
     batch: DCTPatches,
     normalized_batch: DCTPatches,
     training: bool = True,
+    pixel_grid_sizes: Optional[jnp.ndarray] = None,
+    rng: Optional[jnp.ndarray] = None,
+    vq_stats: Optional[Any] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """One forward pass + loss dict (reference main.py:44-112, decode_pixels=False)."""
-    out = module.apply({"params": params}, normalized_batch, training=training)
+    """One forward pass + loss dict (reference main.py:44-112).
+
+    pixel_grid_sizes != None enables the differentiable RGB pixel loss
+    (reference decode_pixels=True, main.py:95-110): a (max_images, 2) array of
+    per-image patch grids (see pixel_loss.make_grid_sizes).  The whole
+    unpatch -> IDCT -> IPT->RGB chain is inside this jitted step and
+    backpropagated through, exactly like the reference's eager autograd.
+
+    vq_stats != None (VQ mode) applies with mutable=['vq_stats'] so the EMA
+    affine/usage statistics update; the new state is returned under the
+    'vq_stats' key (and the pre-quantization projections under 'vq_z') —
+    the train step threads them.  rng drives gumbel code sampling.
+    """
+    rngs = {"vq": rng} if rng is not None else None
+    if vq_stats is not None:
+        out, new_vars = module.apply(
+            {"params": params, "vq_stats": vq_stats},
+            normalized_batch,
+            training=training,
+            rngs=rngs,
+            mutable=["vq_stats"],
+        )
+    else:
+        out = module.apply(
+            {"params": params}, normalized_batch, training=training, rngs=rngs
+        )
+        new_vars = None
     output_patches: DCTPatches = out["dct_patches"]
     mask = ~output_patches.key_pad_mask
 
@@ -60,6 +88,26 @@ def step_autoencoder(
     unnormalized = inverse_patchnorm(patchnorm, output_patches)
     losses["rec_loss_unnormalized"] = masked_l1(unnormalized, batch.patches, mask)
 
+    if pixel_grid_sizes is not None:
+        from .pixel_loss import packed_pixel_loss
+
+        cfg = module.config
+        # reference target: postprocess(inv_normalize_(normalized_batch))
+        # (main.py:96-98) — the input tokens pushed back through the inverse
+        # norm, NOT the raw pixels (clamped-normalization effects included)
+        target = jax.lax.stop_gradient(
+            inverse_patchnorm(patchnorm, normalized_batch)
+        )
+        losses["pixel_loss"] = packed_pixel_loss(
+            unnormalized,
+            target,
+            output_patches,
+            pixel_grid_sizes,
+            (cfg.max_patch_h, cfg.max_patch_w),
+            cfg.patch_size,
+            cfg.image_channels,
+        )
+
     # metrics (stop-gradient)
     codes = out["codes"]
     null_codes = jnp.where(mask[..., None], codes, -1)
@@ -68,6 +116,9 @@ def step_autoencoder(
     )
     losses["codes"] = codes
     losses["rec_patches"] = output_patches.patches
+    if new_vars is not None:
+        losses["vq_stats"] = jax.lax.stop_gradient(new_vars.get("vq_stats", {}))
+        losses["vq_z"] = jax.lax.stop_gradient(out.get("vq_z"))
     return losses
 
 

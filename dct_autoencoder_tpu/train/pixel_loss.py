@@ -42,7 +42,7 @@ def unpatch_to_images(
     b, s, pz = patches.shape
 
     gid = row_offsets[:, None] + batch.batched_image_ids  # (b, s)
-    valid = ~batch.key_pad_mask
+    valid = (~batch.key_pad_mask) & (gid < max_images)  # overflow images -> trash
     flat_idx = ((gid * c + batch.patch_channels) * ph + batch.h_indices) * pw + batch.w_indices
     trash = max_images * c * ph * pw
     flat_idx = jnp.where(valid, flat_idx, trash)
@@ -82,6 +82,80 @@ def np_prod(shape) -> int:
     for s in shape:
         out *= int(s)
     return out
+
+
+def row_offsets_in_jit(batch: DCTPatches) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """In-jit per-row global image offsets + total image count.
+
+    Traced twin of make_row_offsets: rows contribute their packed images in
+    order, so row r's images start at sum of images in rows < r.
+    """
+    ids = batch.batched_image_ids
+    pad = batch.key_pad_mask
+    any_valid = (~pad).any(axis=1)
+    max_id = jnp.max(jnp.where(pad, -1, ids), axis=1)
+    n_per_row = jnp.where(any_valid, max_id + 1, 0).astype(jnp.int32)
+    offsets = (jnp.cumsum(n_per_row) - n_per_row).astype(jnp.int32)
+    return offsets, n_per_row.sum()
+
+
+def packed_pixel_loss(
+    rec_patches: jnp.ndarray,  # (b, s, p*p) decoded UNNORMALIZED DCT tokens
+    target_patches: jnp.ndarray,  # (b, s, p*p) target UNNORMALIZED DCT tokens
+    batch: DCTPatches,
+    grid_sizes: jnp.ndarray,  # (max_images, 2) per-image (ph, pw); 0 = empty slot
+    grid: Tuple[int, int],  # (max_patch_h, max_patch_w) static canvas grid
+    patch_size: int,
+    channels: int,
+) -> jnp.ndarray:
+    """Reference-parity RGB pixel loss, computed wholly inside jit.
+
+    The reference's pixel loss (main.py:95-110) compares
+    postprocess(inv_normalize(output)) against
+    postprocess(inv_normalize(normalized_batch)) — i.e. the TARGET is itself a
+    token reconstruction, so no raw pixels need to be plumbed through the data
+    path.  Both sides here run the differentiable unpatch->IDCT->IPT->RGB on
+    shared (max_images, c, PH*p, PW*p) canvases and the per-image MSEs are
+    averaged, matching the reference's `sum(mse(im, im_hat)) / n_images`.
+
+    Deviation (documented): the reference zero-pads each DCT plane to the
+    ORIGINAL image size before the IDCT (feature_extraction...py:289-310);
+    we evaluate at the crop/grid resolution instead.  The orthonormal pad+IDCT
+    preserves the sum of squared DCT-coefficient differences exactly
+    (Parseval), so the two only differ through the IPT->RGB nonlinearity —
+    and a static canvas is what XLA needs.  Images that overflow `max_images`
+    slots or whose grid exceeds the canvas are excluded from the average.
+    """
+    max_images = grid_sizes.shape[0]
+    offsets, n_images = row_offsets_in_jit(batch)
+    rec = unpatch_to_images(
+        rec_patches, batch, offsets, grid, patch_size, channels, max_images
+    )
+    tgt = unpatch_to_images(
+        target_patches, batch, offsets, grid, patch_size, channels, max_images
+    )
+    se = jnp.sum((rec - tgt) ** 2, axis=(1, 2, 3))  # (max_images,)
+    denom = (
+        channels * grid_sizes[:, 0] * patch_size * grid_sizes[:, 1] * patch_size
+    ).astype(jnp.float32)
+    slot_valid = (jnp.arange(max_images) < n_images) & (grid_sizes[:, 0] > 0)
+    per_image = jnp.where(slot_valid, se / jnp.maximum(denom, 1.0), 0.0)
+    return per_image.sum() / jnp.maximum(slot_valid.sum(), 1)
+
+
+def make_grid_sizes(batch: DCTPatches, max_images: int, clip_grid: Tuple[int, int]):
+    """Host-side: (max_images, 2) per-image patch grids, clipped to the canvas.
+
+    Images beyond max_images are dropped from the loss (slot 0-padded); grids
+    are clipped to (max_patch_h, max_patch_w) because tokens outside that grid
+    were already dropped at preprocess time.
+    """
+    import numpy as np
+
+    gs = np.zeros((max_images, 2), dtype=np.int32)
+    for i, (ph, pw) in enumerate(batch.patch_sizes[:max_images]):
+        gs[i] = (min(ph, clip_grid[0]), min(pw, clip_grid[1]))
+    return jnp.asarray(gs)
 
 
 def make_row_offsets(batch: DCTPatches) -> Tuple[jnp.ndarray, int]:

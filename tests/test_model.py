@@ -67,7 +67,7 @@ def test_decode_from_codes_matches_decode():
     batch = make_batch(proc, rng)
     batch = model.normalize_(batch)
 
-    encoded, codes, _, _ = model.encode(batch, training=False)
+    encoded, codes, _, _, _ = model.encode(batch, training=False)
     decoded = model.decode(encoded)
 
     decoded2 = model.decode_from_codes(
@@ -213,12 +213,12 @@ def test_vq_variants():
     ]:
         vq = VectorQuantize(dim=32, codebook_size=16, heads=4, codebook_dim=8, **kwargs)
         params = vq.init(jax.random.PRNGKey(0), x, mask=mask)
-        out, idx, loss = vq.apply(params, x, mask=mask, training=True)
+        out, idx, loss, _ = vq.apply(params, x, mask=mask, training=True)
         assert out.shape == x.shape
         assert idx.shape == (2, 8, 4)
         assert np.isfinite(float(loss))
         # indices_to_codes consistency: eval-path quantized == decode(indices)
-        out_e, idx_e, _ = vq.apply(params, x, mask=mask, training=False)
+        out_e, idx_e, _, _ = vq.apply(params, x, mask=mask, training=False)
         dec = vq.apply(params, idx_e, method="indices_to_codes")
         np.testing.assert_allclose(np.asarray(out_e), np.asarray(dec), atol=1e-5)
         # gradients flow

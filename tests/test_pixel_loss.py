@@ -75,3 +75,62 @@ def test_pixel_loss_differentiable():
     valid_tok = ~np.asarray(batch.key_pad_mask)
     assert np.abs(g[valid_tok]).sum() > 0
     np.testing.assert_allclose(g[~valid_tok], 0.0, atol=1e-12)
+
+
+def test_packed_pixel_loss_matches_eager_reference():
+    """In-jit packed pixel loss == reference-style per-image postprocess MSE.
+
+    Images sized to exact patch multiples so crop == original and the
+    Parseval-equivalence caveat is exact (see packed_pixel_loss docstring).
+    """
+    from dct_autoencoder_tpu.train.pixel_loss import (
+        make_grid_sizes,
+        packed_pixel_loss,
+    )
+
+    rng = np.random.default_rng(3)
+    proc, ims, batch = make_bucketed_batch(rng, n_images=5)
+    grid = (proc.max_patch_h, proc.max_patch_w)
+    grid_sizes = make_grid_sizes(batch, max_images=8, clip_grid=grid)
+
+    noise = rng.standard_normal(batch.patches.shape).astype(np.float32) * 0.05
+    noise = noise * (~np.asarray(batch.key_pad_mask))[..., None]
+    rec = batch.patches + noise
+
+    got = float(
+        packed_pixel_loss(
+            rec, batch.patches, batch, grid_sizes, grid, proc.patch_size, 3
+        )
+    )
+
+    # reference-style eager computation (main.py:95-106): postprocess both
+    # token sets, per-image MSE, mean over images
+    rec_images = proc.postprocess(batch.replace(patches=rec))
+    tgt_images = proc.postprocess(batch)
+    want = float(
+        np.mean([np.mean((r - t) ** 2) for r, t in zip(rec_images, tgt_images)])
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    assert got > 0
+
+
+def test_packed_pixel_loss_masks_overflow_images():
+    from dct_autoencoder_tpu.train.pixel_loss import (
+        make_grid_sizes,
+        packed_pixel_loss,
+    )
+
+    rng = np.random.default_rng(4)
+    proc, ims, batch = make_bucketed_batch(rng, n_images=4)
+    grid = (proc.max_patch_h, proc.max_patch_w)
+    rec = batch.patches + 0.1
+
+    # max_images=2 < 4 packed images: overflow images must be dropped, not
+    # corrupt the canvases of kept slots
+    gs2 = make_grid_sizes(batch, max_images=2, clip_grid=grid)
+    gs8 = make_grid_sizes(batch, max_images=8, clip_grid=grid)
+    l2 = float(packed_pixel_loss(rec, batch.patches, batch, gs2, grid, proc.patch_size, 3))
+    l8 = float(packed_pixel_loss(rec, batch.patches, batch, gs8, grid, proc.patch_size, 3))
+    assert np.isfinite(l2) and np.isfinite(l8)
+    # same perturbation everywhere -> per-image MSEs comparable magnitudes
+    assert 0.2 < l2 / l8 < 5.0

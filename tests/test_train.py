@@ -144,3 +144,86 @@ def test_train_loop_logs_image_grids(tmp_path):
     )
     grids = [f for f in os.listdir(out_dir) if f.startswith("train_image_")]
     assert grids, "no image grids written"
+
+
+def test_pixel_loss_in_train_step():
+    """VERDICT r1 item 1: pixel loss is in the objective and grads flow
+    through the IDCT/IPT chain to the params (reference main.py:95-110,
+    216-237)."""
+    from dct_autoencoder_tpu.train.loop import prepare_train_batch
+
+    model, proc, raw = setup_model()
+    clip_grid = (model.config.max_patch_h, model.config.max_patch_w)
+    batch, grid_sizes = prepare_train_batch(raw, pixel_loss_max_images=8, clip_grid=clip_grid)
+    tx = make_optimizer(learning_rate=1e-3, max_iters=100, warmup_steps=0)
+
+    # pixel loss ONLY: nonzero grads prove the term backprops to params
+    step_px = jax.jit(
+        make_train_step(
+            model.module,
+            tx,
+            loss_weights=dict(
+                rec_loss=0.0, rec_loss_unnormalized=0.0, commit_loss=0.0,
+                entropy_loss=0.0, pixel_loss=1.0,
+            ),
+            use_pixel_loss=True,
+        )
+    )
+    state = TrainState.create(model.params, tx)
+    state, m = step_px(state, model.patchnorm, batch, grid_sizes)
+    assert "pixel_loss" in m
+    assert float(m["pixel_loss"]) > 0
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["grad_norm"]) > 0, "pixel loss gradient did not reach params"
+
+    # with/without the flag the objective differs
+    step_off = jax.jit(make_train_step(model.module, tx))
+    s2 = TrainState.create(model.params, tx)
+    _, m_off = step_off(s2, model.patchnorm, batch)
+    assert "pixel_loss" not in m_off
+    assert abs(float(m["loss"]) - float(m_off["loss"])) > 1e-8
+
+
+def test_prepare_train_batch_strips_static_metadata():
+    """Distinct packing metadata must NOT retrigger train-step compilation."""
+    model, proc, raw = setup_model()
+    from dct_autoencoder_tpu.train.loop import prepare_train_batch
+
+    b1, _ = prepare_train_batch(raw)
+    b2, _ = prepare_train_batch(
+        raw.replace(original_sizes=tuple((s[0] + 32, s[1]) for s in raw.original_sizes))
+    )
+    t1 = jax.tree_util.tree_structure(b1)
+    t2 = jax.tree_util.tree_structure(b2)
+    assert t1 == t2, "stripped batches must share one treedef (one jit cache entry)"
+    assert b1.attn_mask is None
+
+
+def test_train_loop_with_pixel_loss():
+    from dct_autoencoder_tpu.train.loop import train
+
+    model, proc, _ = setup_model()
+    rng = np.random.default_rng(11)
+
+    def data_iter():
+        for _ in range(3):
+            ims = [rng.uniform(0.1, 0.9, size=(3, 32, 32)).astype(np.float32) for _ in range(3)]
+            ds = [proc.preprocess(im) for im in ims]
+            yield {k: [d[k] for d in ds] for k in ds[0]}
+
+    logs = []
+    train(
+        model,
+        proc,
+        data_iter(),
+        batch_size=None,
+        max_iters=3,
+        learning_rate=1e-4,
+        use_pixel_loss=True,
+        pixel_loss_max_images=8,
+        log_every=1,
+        save_every=0,
+        log=lambda d: logs.append(d) if isinstance(d, dict) else None,
+    )
+    px = [d["pixel_loss"] for d in logs if "pixel_loss" in d]
+    assert px and all(np.isfinite(px)), logs
