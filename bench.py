@@ -307,13 +307,20 @@ def main():
 
     here = os.path.dirname(os.path.abspath(__file__))
     cfg = DCTAutoencoderConfig.from_json_file(os.path.join(here, "conf", "patch14-l.json"))
+    if mode == "int8":
+        # int8 serving path (models/quant.py): per-channel int8 weights +
+        # dynamic per-token activation quant on the int8 MXU
+        cfg.encoder_config.quantize_int8 = True
+        cfg.decoder_config.quantize_int8 = True
     module = DCTAutoencoderModule(cfg, dtype=jnp.bfloat16)
 
     rows = int(os.environ.get("BENCH_ROWS", "128"))
     batch, n_images = build_packed_batch(cfg, max_seq_len=256, rows=rows)
 
     params = module.init(jax.random.PRNGKey(0), batch, training=False)["params"]
-    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    params = jax.tree_util.tree_map(
+        lambda x: x if x.dtype == jnp.int8 else x.astype(jnp.bfloat16), params
+    )
 
     n_iters = int(os.environ.get("BENCH_ITERS", "20"))
     images_per_sec, sec_per_batch, tflops = measure_model_throughput(
@@ -321,7 +328,8 @@ def main():
     )
 
     result = {
-        "metric": "patch14l_encode_decode_throughput",
+        "metric": "patch14l_encode_decode_throughput"
+        + ("_int8" if mode == "int8" else ""),
         "value": round(images_per_sec, 1),
         "unit": "images/s/chip",
         "vs_baseline": round(images_per_sec / 2000.0, 3),

@@ -27,6 +27,10 @@ class TransformerConfig:
     # rematerialize each layer in the backward pass (jax.checkpoint): trades
     # ~30% more FLOPs for activation memory ~ O(layers) -> O(1)
     remat: bool = False
+    # int8 serving: build Int8Dense (dynamic per-token activation quant +
+    # per-channel int8 weights on the int8 MXU path) instead of nn.Dense.
+    # Use models/quant.quantize_model_for_serving to convert a trained model.
+    quantize_int8: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "TransformerConfig":

@@ -1,0 +1,141 @@
+"""int8 quantized serving path for the transformer stacks.
+
+The serving forward is matmul-bound (two CLIP stacks over packed tokens —
+SURVEY §3.1 hot loops); v5e's MXU runs int8 x int8 -> int32 at 2x the bf16
+rate (394 TOPS vs 197 TFLOPS).  This module provides:
+
+  * `Int8Dense` — drop-in Dense with per-OUTPUT-channel symmetric int8
+    weights and DYNAMIC per-token symmetric activation quantization.  Both
+    matmul operands are int8, so XLA lowers onto the int8 MXU path; scales
+    are applied to the int32 accumulator.
+  * `quantize_dense_params` — converts trained f32/bf16 Dense kernels into
+    the (kernel_q int8, kernel_scale f32) pair Int8Dense expects.
+
+Swap-in is config-driven: `TransformerConfig.quantize_int8=True` makes the
+transformer stacks build Int8Dense instead of nn.Dense (models/
+transformer.py), and `quantize_model_for_serving` rewrites a trained
+DCTAutoencoder into the quantized serving form.  LFQ/patch-embed/proj-out
+projections stay bf16 — they are <2% of the FLOPs and LFQ bit-exactness of
+the token stream is sensitive to the quantizer input.
+
+No counterpart in the reference (its 8-bit machinery is the PagedAdamW8bit
+OPTIMIZER, a CUDA memory workaround — main.py:420-425); this is a serving
+capability upgrade.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def _quantize_weight(w: np.ndarray):
+    """(in, out) float kernel -> (int8 kernel, (out,) f32 per-channel scale)."""
+    w = np.asarray(w, dtype=np.float32)
+    scale = np.abs(w).max(axis=0) / 127.0
+    scale = np.where(scale == 0.0, 1.0, scale)
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+class Int8Dense(nn.Module):
+    """Dense with int8 weights + dynamic per-token int8 activations.
+
+    y = (x_q @ w_q) * (x_scale * w_scale) + b, accumulated in int32 on the
+    MXU.  Weight params are expected to be REWRITTEN from a trained model by
+    `quantize_dense_params` — the random init here only exists so
+    module.init produces the right shapes/dtypes.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_dim = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q",
+            lambda rng, shape: jnp.zeros(shape, jnp.int8),
+            (in_dim, self.features),
+        )
+        kernel_scale = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,)
+        )
+
+        # dynamic symmetric per-token activation quantization
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        x_scale = jnp.maximum(amax, 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+
+        acc = jax.lax.dot_general(
+            xq,
+            kernel_q,
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * x_scale * kernel_scale
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+def quantize_dense_params(params: Any) -> Any:
+    """Rewrite every Dense {kernel, bias} subtree into Int8Dense params.
+
+    Only applies to subtrees that look like Dense params (a 2-D 'kernel'
+    leaf); everything else passes through unchanged.
+    """
+    return _quantize_stack(params)
+
+
+def quantize_transformer_params(params: Any) -> Any:
+    """Quantize ONLY the encoder/decoder transformer stacks of a
+    DCTAutoencoder param tree (patch embed / LFQ / proj_out stay bf16)."""
+    out = dict(params)
+    for stack in ("encoder", "decoder"):
+        if stack in out:
+            out[stack] = _quantize_stack(out[stack])
+    return out
+
+
+def _quantize_stack(node: Any) -> Any:
+    if isinstance(node, dict):
+        if "kernel" in node and getattr(node["kernel"], "ndim", 0) == 2:
+            q, scale = _quantize_weight(np.asarray(node["kernel"]))
+            out = {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(scale)}
+            if "bias" in node:
+                out["bias"] = jnp.asarray(np.asarray(node["bias"], np.float32))
+            return out
+        return {k: _quantize_stack(v) for k, v in node.items()}
+    return node
+
+
+def quantize_model_for_serving(model) -> "Any":
+    """Trained DCTAutoencoder -> int8-serving DCTAutoencoder.
+
+    Builds a sibling model whose transformer stacks use Int8Dense
+    (config.encoder_config.quantize_int8=True) and rewrites the trained
+    params into quantized form.  Same API surface (forward/encode/decode).
+    """
+    import copy
+
+    from .autoencoder import DCTAutoencoder
+
+    cfg = copy.deepcopy(model.config)
+    cfg.encoder_config.quantize_int8 = True
+    cfg.decoder_config.quantize_int8 = True
+    qmodel = DCTAutoencoder(cfg, dtype=model.dtype)
+    qparams = quantize_transformer_params(model.params)
+    assert jax.tree_util.tree_structure(qparams) == jax.tree_util.tree_structure(
+        qmodel.params
+    ), "quantized param tree does not match the Int8Dense module structure"
+    qmodel.params = qparams
+    qmodel.patchnorm = model.patchnorm
+    qmodel.vq_stats = model.vq_stats
+    return qmodel

@@ -86,6 +86,17 @@ _ACTS = {
 }
 
 
+def _dense(cfg: TransformerConfig, features: int, dtype, name: str):
+    """nn.Dense, or the int8-serving Int8Dense when cfg.quantize_int8
+    (models/quant.py — per-channel int8 weights + dynamic per-token
+    activation quant on the int8 MXU path)."""
+    if getattr(cfg, "quantize_int8", False):
+        from .quant import Int8Dense
+
+        return Int8Dense(features, dtype=dtype, name=name)
+    return nn.Dense(features, dtype=dtype, name=name)
+
+
 class MultiHeadAttention(nn.Module):
     config: TransformerConfig
     dtype: jnp.dtype = jnp.float32
@@ -100,7 +111,7 @@ class MultiHeadAttention(nn.Module):
         head_dim = d // h
         scale = head_dim**-0.5
 
-        dense = lambda name: nn.Dense(d, dtype=self.dtype, name=name)
+        dense = lambda name: _dense(cfg, d, self.dtype, name)
         q = dense("q_proj")(x)
         k = dense("k_proj")(x)
         v = dense("v_proj")(x)
@@ -150,11 +161,11 @@ class EncoderLayer(nn.Module):
 
         residual = x
         x = ln("layer_norm2")(x)
-        x = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(x)
+        x = _dense(cfg, cfg.intermediate_size, self.dtype, "fc1")(x)
         x = act(x)
         if cfg.dropout > 0.0:
             x = nn.Dropout(rate=cfg.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(x)
+        x = _dense(cfg, cfg.hidden_size, self.dtype, "fc2")(x)
         return residual + x
 
 

@@ -184,7 +184,11 @@ class DCTAutoencoderFeatureExtractor:
         }
 
     def _get_preproc_fn(self, h: int, w: int):
-        key = (h, w)
+        # max_seq_len is part of the key: norm calibration temporarily raises
+        # it to the full lossless grid (train/loop.py train_patch_norm), and a
+        # cached cap-3072 program serving the cap-256 training phase would
+        # ship 12x more sorted-prefix data per image over the host link
+        key = (h, w, self.max_seq_len)
         if key not in self._preproc_cache:
             self._preproc_cache[key] = self._build_preproc_fn(h, w)
         e = self._preproc_cache[key]
@@ -206,7 +210,7 @@ class DCTAutoencoderFeatureExtractor:
         out: List[Optional[dict]] = [None] * len(images)
         for (c, h, w), group in by_shape.items():
             assert c == self.channels
-            key = (h, w)
+            key = (h, w, self.max_seq_len)
             if key not in self._preproc_cache:
                 self._preproc_cache[key] = self._build_preproc_fn(h, w)
             e = self._preproc_cache[key]

@@ -143,3 +143,53 @@ def test_ema_codebook_psum_sync_matches_global():
     np.testing.assert_allclose(
         np.asarray(global_new.embed), np.asarray(dist_new.embed), rtol=1e-4, atol=1e-5
     )
+
+
+def test_sharded_encode_matches_single_device():
+    """BASELINE configs 4-5 (sharded streaming encode): the dp-sharded encode
+    over the 8-device mesh produces the SAME token records as single-device,
+    and 2-host shard ownership unions to the 1-host stream (determinism)."""
+    from dct_autoencoder_tpu.patches.container import to_dict
+    from dct_autoencoder_tpu.train.loop import prepare_train_batch
+
+    cfg = tiny_config("lfq")
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(12)
+    batch = make_batch(proc, rng, n_images=16)
+    nb = model.normalize_(batch)
+    stripped, _ = prepare_train_batch(nb)
+
+    # single device
+    out1 = model.module.apply({"params": model.params}, stripped, training=False)
+    rec1 = to_dict(
+        out1["dct_patches"].replace(
+            patch_sizes=batch.patch_sizes, original_sizes=batch.original_sizes
+        ),
+        out1["codes"],
+    )
+
+    # dp-sharded over all 8 virtual devices
+    mesh = make_mesh(n_model=1)
+    from dct_autoencoder_tpu.parallel.mesh import pad_batch_rows
+
+    padded = pad_batch_rows(stripped, mesh.shape["data"])
+    with mesh:
+        sharded = shard_batch(padded, mesh)
+        fn = jax.jit(
+            lambda p, b: model.module.apply({"params": p}, b, training=False),
+            in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        )
+        out8 = fn(model.params, sharded)
+    b1 = stripped.patches.shape[0]
+    np.testing.assert_array_equal(
+        np.asarray(out8["codes"])[:b1], np.asarray(out1["codes"])
+    )
+    rec8 = to_dict(
+        out8["dct_patches"].replace(
+            patch_sizes=batch.patch_sizes, original_sizes=batch.original_sizes
+        ),
+        out8["codes"],
+    )
+    assert len(rec8) == len(rec1) == 16
+    for a, b in zip(rec1, rec8):
+        assert [c["data"] for c in a["codes"]] == [c["data"] for c in b["codes"]]

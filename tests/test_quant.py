@@ -1,0 +1,71 @@
+"""int8 quantized serving path tests (models/quant.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dct_autoencoder_tpu.models.factory import get_model_and_processor
+from dct_autoencoder_tpu.models.patchnorm import calibrate_patchnorm_batch
+from dct_autoencoder_tpu.models.quant import (
+    Int8Dense,
+    _quantize_weight,
+    quantize_dense_params,
+    quantize_model_for_serving,
+)
+
+from test_model import make_batch, tiny_config
+
+
+def test_int8_dense_matches_fp_within_quant_error():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 16, 32)).astype(np.float32))
+    w = rng.standard_normal((32, 64)).astype(np.float32) * 0.1
+    b = rng.standard_normal((64,)).astype(np.float32) * 0.01
+
+    want = x @ w + b
+
+    q, scale = _quantize_weight(w)
+    assert q.dtype == np.int8
+    params = {"params": {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(scale), "bias": jnp.asarray(b)}}
+    got = Int8Dense(64, dtype=jnp.float32).apply(params, x)
+
+    # int8 x int8: relative error bounded by the two quantization steps
+    rel = np.abs(np.asarray(got) - np.asarray(want)).max() / np.abs(np.asarray(want)).max()
+    assert rel < 0.03, rel
+
+
+def test_quantize_dense_params_structure():
+    w = np.random.default_rng(1).standard_normal((8, 4)).astype(np.float32)
+    tree = {"layer": {"kernel": w, "bias": np.zeros(4, np.float32)}, "other": {"x": np.ones(3)}}
+    q = quantize_dense_params(tree)
+    assert set(q["layer"].keys()) == {"kernel_q", "kernel_scale", "bias"}
+    assert np.asarray(q["layer"]["kernel_q"]).dtype == np.int8
+    np.testing.assert_array_equal(np.asarray(q["other"]["x"]), tree["other"]["x"])
+
+
+def test_quantized_model_serving_close_to_fp():
+    """End-to-end: the int8 serving model reproduces the fp model's tokens on
+    the overwhelming majority of positions and its reconstructions stay
+    close."""
+    cfg = tiny_config("lfq")
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(2)
+    batch = make_batch(proc, rng, n_images=4)
+    model.patchnorm, _ = calibrate_patchnorm_batch(model.patchnorm, batch)
+    nb = model.normalize_(batch)
+
+    out_fp = model.forward(nb, training=False)
+    qmodel = quantize_model_for_serving(model)
+    out_q = qmodel.forward(nb, training=False)
+
+    valid = ~np.asarray(nb.key_pad_mask)
+    codes_fp = np.asarray(out_fp["codes"])[valid]
+    codes_q = np.asarray(out_q["codes"])[valid]
+    agree = (codes_fp == codes_q).mean()
+    assert agree > 0.9, f"token agreement {agree:.3f}"
+
+    # a handful of flipped tokens legitimately move their outputs, so bound
+    # the MEAN relative reconstruction drift, not the max
+    rec_fp = np.asarray(out_fp["dct_patches"].patches)[valid]
+    rec_q = np.asarray(out_q["dct_patches"].patches)[valid]
+    rel = np.abs(rec_fp - rec_q).mean() / (np.abs(rec_fp).mean() + 1e-9)
+    assert rel < 0.05, rel
