@@ -1,0 +1,82 @@
+"""Convert a trained checkpoint to the int8 serving form.
+
+Usage:
+  python -m dct_autoencoder_tpu.tools.quantize_checkpoint \
+      --model_path out/<run>/model --out_path out/<run>/model-int8 \
+      [--validate_images /root/reference/images]
+
+Loads a save_pretrained checkpoint, rewrites the transformer stacks to
+per-channel int8 weights (models/quant.py), saves the quantized model (same
+save_pretrained layout, config carries quantize_int8=true so from_pretrained
+rebuilds Int8Dense automatically), and optionally reports token agreement +
+reconstruction drift vs the fp model on a validation folder.
+
+No reference counterpart (the reference's 8-bit machinery is the optimizer,
+main.py:420-425); this is a serving capability upgrade.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(model_path: str, out_path: str, validate_images: str = "") -> None:
+    import numpy as np
+
+    from ..models.autoencoder import DCTAutoencoder
+    from ..models.quant import quantize_model_for_serving
+
+    model = DCTAutoencoder.from_pretrained(model_path)
+    qmodel = quantize_model_for_serving(model)
+    qmodel.save_pretrained(out_path)
+    n_int8 = sum(
+        int(np.prod(p.shape))
+        for p in __import__("jax").tree_util.tree_leaves(qmodel.params)
+        if getattr(p, "dtype", None) == np.int8
+    )
+    print(f"saved int8 model to {out_path} ({n_int8 / 1e6:.1f}M int8 weights)")
+
+    if validate_images:
+        from PIL import Image
+
+        from ..models.factory import get_model_and_processor
+        from ..models.patchnorm import calibrate_patchnorm_batch
+
+        _, proc = get_model_and_processor(model.config, sample_patches_beta=0.0)
+        proc.build_attn_mask = False
+        files = sorted(
+            f
+            for f in os.listdir(validate_images)
+            if f.lower().endswith((".jpg", ".jpeg", ".png"))
+        )[:6]
+        ims = []
+        for f in files:
+            im = Image.open(os.path.join(validate_images, f)).convert("RGB")
+            im = im.resize((448, 448), Image.BICUBIC)
+            ims.append(np.asarray(im, np.float32).transpose(2, 0, 1) / 255.0)
+        ds = [proc.preprocess(im) for im in ims]
+        cols = {k: [d[k] for d in ds] for k in ds[0]}
+        batch = next(proc.iter_batches(iter([cols]), batch_size=None))
+        if not np.asarray(model.patchnorm.n).max() > 0:
+            model.patchnorm, _ = calibrate_patchnorm_batch(model.patchnorm, batch)
+            qmodel.patchnorm = model.patchnorm
+        nb = model.normalize_(batch)
+        out_fp = model.forward(nb, training=False)
+        out_q = qmodel.forward(nb, training=False)
+        valid = ~np.asarray(nb.key_pad_mask)
+        agree = (
+            np.asarray(out_fp["codes"])[valid] == np.asarray(out_q["codes"])[valid]
+        ).mean()
+        a = np.asarray(out_fp["dct_patches"].patches)[valid]
+        b = np.asarray(out_q["dct_patches"].patches)[valid]
+        drift = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+        print(f"validation: token agreement {agree:.4f}, mean rec drift {drift:.4f}")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--out_path", required=True)
+    p.add_argument("--validate_images", default="")
+    args = p.parse_args()
+    main(args.model_path, args.out_path, args.validate_images)

@@ -69,3 +69,29 @@ def test_quantized_model_serving_close_to_fp():
     rec_q = np.asarray(out_q["dct_patches"].patches)[valid]
     rel = np.abs(rec_fp - rec_q).mean() / (np.abs(rec_fp).mean() + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_int8_model_save_load_roundtrip(tmp_path):
+    """quantize -> save_pretrained -> from_pretrained rebuilds Int8Dense and
+    reproduces the quantized model's tokens exactly."""
+    from dct_autoencoder_tpu.models.autoencoder import DCTAutoencoder
+
+    cfg = tiny_config("lfq")
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(3)
+    batch = make_batch(proc, rng, n_images=3)
+    model.patchnorm, _ = calibrate_patchnorm_batch(model.patchnorm, batch)
+    nb = model.normalize_(batch)
+
+    qmodel = quantize_model_for_serving(model)
+    out1 = qmodel.forward(nb, training=False)
+    path = str(tmp_path / "q")
+    qmodel.save_pretrained(path)
+
+    loaded = DCTAutoencoder.from_pretrained(path)
+    assert loaded.config.encoder_config.quantize_int8
+    kq = loaded.params["encoder"]["layers_0"]["self_attn"]["q_proj"]["kernel_q"]
+    assert np.asarray(kq).dtype == np.int8
+    loaded.patchnorm = qmodel.patchnorm
+    out2 = loaded.forward(nb, training=False)
+    np.testing.assert_array_equal(np.asarray(out1["codes"]), np.asarray(out2["codes"]))
