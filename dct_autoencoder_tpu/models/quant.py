@@ -21,6 +21,13 @@ the token stream is sensitive to the quantizer input.
 No counterpart in the reference (its 8-bit machinery is the PagedAdamW8bit
 OPTIMIZER, a CUDA memory workaround — main.py:420-425); this is a serving
 capability upgrade.
+
+Measured (v5e, headline bench shape, BENCH_MODE=int8): **5,124 img/s vs
+6,413 bf16** — at patch14-L's matmul sizes the per-token dynamic
+quantization (amax/round/clip per activation, 6 denses x 16 layers) costs
+more than the int8 MXU rate gains back.  Token agreement vs fp stays ~98%.
+Use this path when WEIGHT MEMORY is the constraint (weights halve), not for
+single-chip speed; the bf16 path remains the serving default.
 """
 from __future__ import annotations
 
