@@ -308,10 +308,11 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     cfg = DCTAutoencoderConfig.from_json_file(os.path.join(here, "conf", "patch14-l.json"))
     if mode == "int8":
-        # int8 serving path (models/quant.py): per-channel int8 weights +
-        # dynamic per-token activation quant on the int8 MXU
-        cfg.encoder_config.quantize_int8 = True
-        cfg.decoder_config.quantize_int8 = True
+        # int8 serving path (models/quant.py); INT8_MODE=weight_only|dynamic
+        int8_mode = os.environ.get("INT8_MODE", "weight_only")
+        for tc in (cfg.encoder_config, cfg.decoder_config):
+            tc.quantize_int8 = True
+            tc.quantize_int8_mode = int8_mode
     module = DCTAutoencoderModule(cfg, dtype=jnp.bfloat16)
 
     rows = int(os.environ.get("BENCH_ROWS", "128"))

@@ -31,6 +31,10 @@ class TransformerConfig:
     # per-channel int8 weights on the int8 MXU path) instead of nn.Dense.
     # Use models/quant.quantize_model_for_serving to convert a trained model.
     quantize_int8: bool = False
+    # 'weight_only' (bf16-rate matmuls, half weight HBM) or 'dynamic'
+    # (both-operand int8 on the int8 MXU; see models/quant.py for measured
+    # tradeoffs at patch14-L sizes)
+    quantize_int8_mode: str = "weight_only" 
 
     @classmethod
     def from_dict(cls, d: dict) -> "TransformerConfig":

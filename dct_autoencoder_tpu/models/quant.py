@@ -49,10 +49,18 @@ def _quantize_weight(w: np.ndarray):
 
 
 class Int8Dense(nn.Module):
-    """Dense with int8 weights + dynamic per-token int8 activations.
+    """Dense with per-output-channel int8 weights; two activation modes.
 
-    y = (x_q @ w_q) * (x_scale * w_scale) + b, accumulated in int32 on the
-    MXU.  Weight params are expected to be REWRITTEN from a trained model by
+    mode='weight_only' (default): weights dequantize on the fly
+      (w_q * scale -> compute dtype) and the matmul runs at full bf16 MXU
+      rate — dequant is O(in*out), negligible next to the O(tokens*in*out)
+      matmul.  Weight HBM halves; speed ~= bf16.
+    mode='dynamic': per-token symmetric activation quantization so BOTH
+      operands are int8 (int8 MXU path).  Measured SLOWER than bf16 at
+      patch14-L sizes (see module docstring) — kept for cases where the
+      matmuls are large enough for the 2x int8 rate to win.
+
+    Weight params are expected to be REWRITTEN from a trained model by
     `quantize_dense_params` — the random init here only exists so
     module.init produces the right shapes/dtypes.
     """
@@ -60,6 +68,7 @@ class Int8Dense(nn.Module):
     features: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    mode: str = "weight_only"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -73,19 +82,27 @@ class Int8Dense(nn.Module):
             "kernel_scale", nn.initializers.ones, (self.features,)
         )
 
-        # dynamic symmetric per-token activation quantization
-        xf = x.astype(jnp.float32)
-        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-        x_scale = jnp.maximum(amax, 1e-8) / 127.0
-        xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
-
-        acc = jax.lax.dot_general(
-            xq,
-            kernel_q,
-            (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        y = acc.astype(jnp.float32) * x_scale * kernel_scale
+        if self.mode == "weight_only":
+            w = (kernel_q.astype(jnp.float32) * kernel_scale).astype(self.dtype)
+            y = jax.lax.dot_general(
+                x.astype(self.dtype),
+                w,
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # dynamic symmetric per-token activation quantization
+            xf = x.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            x_scale = jnp.maximum(amax, 1e-8) / 127.0
+            xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq,
+                kernel_q,
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * x_scale * kernel_scale
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias

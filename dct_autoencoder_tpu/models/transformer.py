@@ -93,7 +93,12 @@ def _dense(cfg: TransformerConfig, features: int, dtype, name: str):
     if getattr(cfg, "quantize_int8", False):
         from .quant import Int8Dense
 
-        return Int8Dense(features, dtype=dtype, name=name)
+        return Int8Dense(
+            features,
+            dtype=dtype,
+            mode=getattr(cfg, "quantize_int8_mode", "weight_only"),
+            name=name,
+        )
     return nn.Dense(features, dtype=dtype, name=name)
 
 

@@ -26,11 +26,11 @@ def test_int8_dense_matches_fp_within_quant_error():
     q, scale = _quantize_weight(w)
     assert q.dtype == np.int8
     params = {"params": {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(scale), "bias": jnp.asarray(b)}}
-    got = Int8Dense(64, dtype=jnp.float32).apply(params, x)
-
-    # int8 x int8: relative error bounded by the two quantization steps
-    rel = np.abs(np.asarray(got) - np.asarray(want)).max() / np.abs(np.asarray(want)).max()
-    assert rel < 0.03, rel
+    for mode in ("weight_only", "dynamic"):
+        got = Int8Dense(64, dtype=jnp.float32, mode=mode).apply(params, x)
+        # relative error bounded by the quantization steps
+        rel = np.abs(np.asarray(got) - np.asarray(want)).max() / np.abs(np.asarray(want)).max()
+        assert rel < 0.03, (mode, rel)
 
 
 def test_quantize_dense_params_structure():
