@@ -252,7 +252,7 @@ def bench_calibrated():
     for f in files:
         im = Image.open(os.path.join(img_dir, f)).convert("RGB").resize((448, 448), Image.BICUBIC)
         ims.append(np.asarray(im, dtype=np.uint8).transpose(2, 0, 1))
-    rows = int(os.environ.get("BENCH_ROWS", "128"))
+    rows = int(os.environ.get("BENCH_ROWS", "64"))
     # enough stochastic-budget draws to fill `rows` packed rows
     reps = max(1, (rows * 256) // (len(ims) * 50))
     ims = ims * reps
@@ -315,7 +315,7 @@ def main():
             tc.quantize_int8_mode = int8_mode
     module = DCTAutoencoderModule(cfg, dtype=jnp.bfloat16)
 
-    rows = int(os.environ.get("BENCH_ROWS", "128"))
+    rows = int(os.environ.get("BENCH_ROWS", "64"))
     batch, n_images = build_packed_batch(cfg, max_seq_len=256, rows=rows)
 
     params = module.init(jax.random.PRNGKey(0), batch, training=False)["params"]

@@ -22,12 +22,14 @@ No counterpart in the reference (its 8-bit machinery is the PagedAdamW8bit
 OPTIMIZER, a CUDA memory workaround — main.py:420-425); this is a serving
 capability upgrade.
 
-Measured (v5e, headline bench shape, BENCH_MODE=int8): **5,124 img/s vs
-6,413 bf16** — at patch14-L's matmul sizes the per-token dynamic
-quantization (amax/round/clip per activation, 6 denses x 16 layers) costs
-more than the int8 MXU rate gains back.  Token agreement vs fp stays ~98%.
-Use this path when WEIGHT MEMORY is the constraint (weights halve), not for
-single-chip speed; the bf16 path remains the serving default.
+Measured (v5e, headline bench shapes, BENCH_MODE=int8 INT8_MODE=dynamic,
+same-session A/B): **5,571 img/s vs 5,329 bf16 at 64 rows (+4.5%)** and
+**5,124 vs 4,692 at 128 rows (+9%)** — the int8 MXU rate wins over the
+per-token quantization overhead, more so as the batch grows.  Token
+agreement vs the fp model is ~98%; since flipped tokens change the serving
+contract of a TOKENIZER, `weight_only` (bit-identical activations math in
+bf16, half weight HBM, ~bf16 speed) stays the default and `dynamic` is the
+explicit max-throughput opt-in.
 """
 from __future__ import annotations
 
