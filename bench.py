@@ -313,6 +313,8 @@ def main():
         for tc in (cfg.encoder_config, cfg.decoder_config):
             tc.quantize_int8 = True
             tc.quantize_int8_mode = int8_mode
+    if os.environ.get("BENCH_ATTN"):
+        cfg.attention_impl = os.environ["BENCH_ATTN"]
     module = DCTAutoencoderModule(cfg, dtype=jnp.bfloat16)
 
     rows = int(os.environ.get("BENCH_ROWS", "64"))
