@@ -25,9 +25,63 @@ from .patches.extractor import DCTAutoencoderFeatureExtractor
 
 
 class DCTPipeline:
-    def __init__(self, model: DCTAutoencoder, processor: DCTAutoencoderFeatureExtractor):
+    def __init__(
+        self,
+        model: DCTAutoencoder,
+        processor: DCTAutoencoderFeatureExtractor,
+        data_parallel: bool = False,
+    ):
+        """data_parallel=True shards encode batches row-wise over every
+        visible device (BASELINE configs 4-5 serving layout): packed rows
+        are padded to the device count and the jitted forward runs with a
+        (data,) mesh sharding — XLA splits the batch, no collectives needed
+        in eval. Token records are identical to single-device encode
+        (tests/test_parallel.py::test_sharded_encode_matches_single_device).
+        """
         self.model = model
         self.processor = processor
+        self._mesh = None
+        self._dp_forward = None
+        if data_parallel:
+            import jax
+
+            from .parallel.mesh import batch_sharding, make_mesh, replicated
+
+            self._mesh = make_mesh(n_model=1)
+            rep = replicated(self._mesh)
+            bsh = batch_sharding(self._mesh)
+            module = model.module
+
+            def fwd(params, vq_stats, batch):
+                return module.apply(
+                    {"params": params, "vq_stats": vq_stats}, batch, training=False
+                )
+
+            self._dp_forward = jax.jit(fwd, in_shardings=(rep, rep, bsh))
+
+    def _forward(self, nb):
+        """Jitted eval forward, optionally data-parallel over the mesh."""
+        if self._mesh is None:
+            return self.model.forward(nb, training=False)
+        import jax
+
+        from .parallel.mesh import pad_batch_rows, shard_batch
+        from .train.loop import prepare_train_batch
+
+        b = nb.patches.shape[0]
+        meta = dict(
+            patch_sizes=nb.patch_sizes, original_sizes=nb.original_sizes
+        )
+        stripped, _ = prepare_train_batch(nb)
+        padded = pad_batch_rows(stripped, self._mesh.shape["data"])
+        with self._mesh:
+            out = self._dp_forward(
+                self.model.params, self.model.vq_stats, shard_batch(padded, self._mesh)
+            )
+        trim = jax.tree_util.tree_map(lambda x: x[:b], out["dct_patches"])
+        out["dct_patches"] = trim.replace(**meta)
+        out["codes"] = out["codes"][:b]
+        return out
 
     @classmethod
     def from_pretrained(cls, path: str, sample_patches_beta: float = 0.02, dtype=None):
@@ -74,7 +128,7 @@ class DCTPipeline:
             iter([cols]), batch_size=batch_size, drain=batch_size is not None
         ):
             nb = self.model.normalize_(batch)
-            out = self.model.forward(nb, training=False)
+            out = self._forward(nb)
             records.extend(to_dict(out["dct_patches"], out["codes"]))
         return records
 

@@ -366,6 +366,7 @@ def train(
     n_model_parallel: int = 1,
     use_pixel_loss: bool = False,
     pixel_loss_max_images: int = 64,
+    prefetch_batches: int = 2,
     log_every: int = 50,
     save_every: int = 1000,
     log_images_every: int = 0,
@@ -410,7 +411,15 @@ def train(
         t0 = time.time()
         n_data = mesh.shape["data"]
         i = -1
-        for i, raw_batch in enumerate(proc.iter_batches(data_iter, batch_size)):
+        batch_iter = proc.iter_batches(data_iter, batch_size)
+        if prefetch_batches > 0:
+            # overlap host-side decode/preprocess/packing of batch i+1 with
+            # device execution of batch i (replaces the reference's
+            # DataLoader workers, main.py:175-181)
+            from ..data.prefetch import prefetch
+
+            batch_iter = prefetch(batch_iter, prefetch_batches)
+        for i, raw_batch in enumerate(batch_iter):
             if i >= max_iters:
                 break
             raw_batch = pad_batch_rows(raw_batch, n_data)
@@ -471,6 +480,12 @@ def train(
                 model.vq_stats = state.vq_stats
                 model.save_pretrained(f"{out_dir}/model")
                 save_train_state(out_dir, state, model.patchnorm)
+
+        # shut the prefetch worker down promptly (its generator-finally joins
+        # the thread; a thread killed mid-device-call at interpreter teardown
+        # aborts the process on the remote backend)
+        if hasattr(batch_iter, "close"):
+            batch_iter.close()
 
     if i < 0:
         log(

@@ -286,3 +286,23 @@ def test_dropout_active_in_training():
     assert not np.allclose(
         np.asarray(o1["dct_patches"].patches), np.asarray(o2["dct_patches"].patches)
     )
+
+
+def test_pipeline_data_parallel_encode_matches_single():
+    """Serving dp: DCTPipeline(data_parallel=True) over the 8-device virtual
+    mesh emits identical token records to the single-device pipeline."""
+    import jax.numpy as jnp
+
+    from dct_autoencoder_tpu.pipeline import DCTPipeline
+
+    cfg = tiny_config("lfq")
+    pipe1 = DCTPipeline.from_config(cfg, sample_patches_beta=0.0, dtype=jnp.float32)
+    pipe8 = DCTPipeline(pipe1.model, pipe1.processor, data_parallel=True)
+    rng = np.random.default_rng(13)
+    ims = [rng.uniform(0.1, 0.9, size=(3, 32, 32)).astype(np.float32) for _ in range(6)]
+
+    r1 = pipe1.encode(ims)
+    r8 = pipe8.encode(ims)
+    assert len(r1) == len(r8) == 6
+    for a, b in zip(r1, r8):
+        assert [c["data"] for c in a["codes"]] == [c["data"] for c in b["codes"]]
