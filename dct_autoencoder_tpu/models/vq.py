@@ -78,6 +78,15 @@ class VectorQuantize(nn.Module):
     kmeans_init: bool = False
     threshold_ema_dead_code: float = 0.0
     ema_cluster_decay: float = 0.8
+    # EMA-trained codebook (the reference library's OTHER operating mode,
+    # ema_update=True — EuclideanCodebook, vector_quantize.py:239-507): the
+    # codebook lives in the 'vq_stats' collection (embed / embed_avg /
+    # cluster_size) and updates by exponential moving average of assigned
+    # encoder outputs instead of by gradient.  Mutually exclusive with the
+    # gradient codebook; the flagship instantiation uses ema_update=False.
+    ema_update: bool = False
+    ema_decay: float = 0.8
+    ema_eps: float = 1e-5
     # || C C^T - I ||^2 penalty pushing codes apart
     # (reference vector_quantize.py orthogonal_reg_weight)
     orthogonal_reg_weight: float = 0.0
@@ -92,9 +101,24 @@ class VectorQuantize(nn.Module):
             if self.separate_codebook_per_head
             else (self.codebook_size, self.codebook_dim)
         )
-        self.codebook = self.param(
-            "codebook", nn.initializers.normal(stddev=1.0), cb_shape
-        )
+        if self.ema_update:
+            # EMA codebook: non-param state in vq_stats
+            init = nn.initializers.normal(stddev=1.0)
+            self.v_embed = self.variable(
+                "vq_stats", "embed", lambda: init(jax.random.PRNGKey(0), cb_shape)
+            )
+            self.v_embed_avg = self.variable(
+                "vq_stats", "embed_avg", lambda: self.v_embed.value.copy()
+            )
+            self.v_ema_cluster = self.variable(
+                "vq_stats",
+                "ema_cluster_size",
+                lambda: jnp.zeros(cb_shape[:-1], jnp.float32),
+            )
+        else:
+            self.codebook = self.param(
+                "codebook", nn.initializers.normal(stddev=1.0), cb_shape
+            )
         d = self.codebook_dim
         if self.affine_param:
             z32 = jnp.float32
@@ -123,8 +147,11 @@ class VectorQuantize(nn.Module):
         b_std = jnp.sqrt(self.v_batch_variance.value + eps)
         return self.v_codebook_mean.value, cb_std, self.v_batch_mean.value, b_std
 
+    def _codebook_value(self) -> jnp.ndarray:
+        return self.v_embed.value if self.ema_update else self.codebook
+
     def _normed_codebook(self) -> jnp.ndarray:
-        cb = self.codebook
+        cb = self._codebook_value()
         if self.affine_param:
             # (cb - cb_mean) / cb_std * batch_std + batch_mean
             # (reference vector_quantize.py:411-424 affine transform)
@@ -141,7 +168,7 @@ class VectorQuantize(nn.Module):
         def ema(var, new, decay):
             var.value = var.value * decay + new.astype(jnp.float32) * (1 - decay)
 
-        cb = self.codebook.reshape(-1, self.codebook_dim)
+        cb = self._codebook_value().reshape(-1, self.codebook_dim)
         ema(self.v_codebook_mean, cb.mean(axis=0), self.affine_param_codebook_decay)
         ema(self.v_codebook_variance, cb.var(axis=0), self.affine_param_codebook_decay)
 
@@ -157,6 +184,43 @@ class VectorQuantize(nn.Module):
             vsum = jax.lax.psum(vsum, self.sync_axis)
         ema(self.v_batch_mean, mean, self.affine_param_batch_decay)
         ema(self.v_batch_variance, vsum / denom, self.affine_param_batch_decay)
+
+    def _ema_update_codebook(
+        self, z: jnp.ndarray, indices: jnp.ndarray, mask: jnp.ndarray
+    ) -> None:
+        """EMA codebook step (reference EuclideanCodebook.forward with
+        ema_update=True, vector_quantize.py:460-507): cluster sizes and
+        per-code embed sums decay toward the batch's masked assignments; the
+        embed is their Laplace-smoothed ratio.  Stats psum over sync_axis."""
+        valid = mask[..., None].astype(jnp.float32)  # (b, n, 1)
+        onehot = jax.nn.one_hot(indices, self.codebook_size, dtype=jnp.float32)
+        onehot = onehot * valid[..., None]  # (b, n, h, z)
+        bins = onehot.sum(axis=(0, 1))  # (h, z)
+        sums = jnp.einsum(
+            "bnhz,bnhd->hzd", onehot, z.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        if not self.separate_codebook_per_head:
+            bins = bins.sum(axis=0)  # (z,)
+            sums = sums.sum(axis=0)  # (z, d)
+        if self.sync_axis is not None:
+            bins = jax.lax.psum(bins, self.sync_axis)
+            sums = jax.lax.psum(sums, self.sync_axis)
+
+        d = self.ema_decay
+        cluster = self.v_ema_cluster.value * d + bins * (1 - d)
+        embed_avg = self.v_embed_avg.value * d + sums.astype(
+            self.v_embed_avg.value.dtype
+        ) * (1 - d)
+        n = cluster.sum(axis=-1, keepdims=True)
+        smoothed = (
+            (cluster + self.ema_eps)
+            / (n + self.codebook_size * self.ema_eps)
+            * n
+        )
+        self.v_ema_cluster.value = cluster
+        self.v_embed_avg.value = embed_avg
+        self.v_embed.value = embed_avg / jnp.maximum(smoothed[..., None], 1e-9)
 
     def _update_cluster_size(self, indices: jnp.ndarray, mask: jnp.ndarray) -> None:
         """EMA code-usage histogram feeding dead-code expiry (reference
@@ -237,6 +301,8 @@ class VectorQuantize(nn.Module):
 
         if updating and self.threshold_ema_dead_code > 0:
             self._update_cluster_size(indices, mask)
+        if updating and self.ema_update:
+            self._ema_update_codebook(jax.lax.stop_gradient(z), indices, mask)
 
         if self.separate_codebook_per_head:
             quantized = jnp.stack(
@@ -249,11 +315,16 @@ class VectorQuantize(nn.Module):
             # commitment: pull encoder output toward frozen codes
             commit = (z - jax.lax.stop_gradient(quantized)) ** 2
             commit = masked_mean(commit, mask, dim=0).sum(axis=0).mean()
-            # codebook: pull codes toward frozen encoder output (grad-trained
-            # codebook, standing in for the reference's learnable_codebook=True)
-            codebook_loss = (jax.lax.stop_gradient(z) - quantized) ** 2
-            codebook_loss = masked_mean(codebook_loss, mask, dim=0).sum(axis=0).mean()
-            loss = self.commitment_weight * commit + self.codebook_weight * codebook_loss
+            loss = self.commitment_weight * commit
+            if not self.ema_update:
+                # codebook: pull codes toward frozen encoder output
+                # (learnable_codebook=True; in EMA mode the codebook trains
+                # by moving average, not by gradient)
+                codebook_loss = (jax.lax.stop_gradient(z) - quantized) ** 2
+                codebook_loss = (
+                    masked_mean(codebook_loss, mask, dim=0).sum(axis=0).mean()
+                )
+                loss = loss + self.codebook_weight * codebook_loss
             if self.orthogonal_reg_weight > 0.0:
                 cb2 = codebook.reshape(-1, d)
                 cbn = cb2 / (jnp.linalg.norm(cb2, axis=-1, keepdims=True) + 1e-8)

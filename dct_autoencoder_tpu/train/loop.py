@@ -261,6 +261,10 @@ def _vq_codebook_surgery(
     """In-jit functional codebook surgery for VQ training (see make_train_step)."""
     from ..models.vq import expire_dead_codes_params, kmeans_init_from_batch
 
+    if "codebook" not in params.get("vq_model", {}):
+        # EMA-codebook mode: the codebook lives in vq_stats and maintains
+        # itself inside apply; no param surgery applies
+        return params, vq_stats
     cb = params["vq_model"]["codebook"]
     rng_k, rng_e = jax.random.split(rng)
 

@@ -136,3 +136,52 @@ def test_vq_stats_persist_in_save_pretrained(tmp_path):
             np.asarray(loaded.vq_stats["vq_model"][k]),
             np.asarray(model.vq_stats["vq_model"][k]),
         )
+
+
+def test_ema_codebook_mode_trains_without_gradients():
+    """The reference library's OTHER operating mode (ema_update=True,
+    vector_quantize.py EuclideanCodebook): the codebook lives in vq_stats and
+    moves toward the data by EMA inside apply — no codebook gradient."""
+    vq = VectorQuantize(dim=16, codebook_size=32, heads=2, codebook_dim=8,
+                        ema_update=True, ema_decay=0.5)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, 32, 16)).astype(np.float32) * 2.0)
+    variables = vq.init(jax.random.PRNGKey(0), x, training=False)
+    assert "embed" in variables["vq_stats"]
+    assert "codebook" not in variables.get("params", {})
+
+    params = variables["params"]
+    stats = variables["vq_stats"]
+    embeds = [np.asarray(stats["embed"])]
+    for _ in range(20):
+        (out, idx, loss, z), new_vars = vq.apply(
+            {"params": params, "vq_stats": stats}, x, training=True,
+            mutable=["vq_stats"],
+        )
+        stats = new_vars["vq_stats"]
+        embeds.append(np.asarray(stats["embed"]))
+        assert np.isfinite(float(loss))
+    assert not np.allclose(embeds[0], embeds[-1]), "EMA codebook did not move"
+
+    # codebook should approach the data distribution: mean quantization error
+    # shrinks as the EMA converges
+    def qerr(stats):
+        (_, _, _, z), _ = vq.apply(
+            {"params": params, "vq_stats": stats}, x, training=True,
+            mutable=["vq_stats"],
+        )
+        zz = np.asarray(z).reshape(-1, 8)
+        emb = np.asarray(stats["embed"])
+        d = ((zz[:, None, :] - emb[None]) ** 2).sum(-1).min(1)
+        return d.mean()
+
+    e0 = qerr({**stats, "embed": jnp.asarray(embeds[0]),
+               "embed_avg": jnp.asarray(embeds[0]),
+               "ema_cluster_size": jnp.zeros_like(stats["ema_cluster_size"])})
+    e1 = qerr(stats)
+    assert e1 < e0, (e0, e1)
+
+    # eval path is deterministic and consistent with indices_to_codes
+    (out_e, idx_e, _, _) = vq.apply({"params": params, "vq_stats": stats}, x, training=False)
+    dec = vq.apply({"params": params, "vq_stats": stats}, idx_e, method="indices_to_codes")
+    np.testing.assert_allclose(np.asarray(out_e), np.asarray(dec), atol=1e-5)
