@@ -285,6 +285,84 @@ def bench_calibrated():
     }
 
 
+def bench_latency():
+    """Single-image serving latency, per stage, on-device (chained-jit
+    methodology): fused preprocess front-end, model encode+decode (1 row x
+    256 tokens), fused decode front-end at 448px."""
+    import functools
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from dct_autoencoder_tpu.kernels.dct_patchify import fused_ipt_dct_patchify
+    from dct_autoencoder_tpu.kernels.idct_unpatchify import fused_idct_unpatchify_rgb
+    from dct_autoencoder_tpu.models.autoencoder import DCTAutoencoderModule
+    from dct_autoencoder_tpu.models.config import DCTAutoencoderConfig
+
+    def timeit(chain, *xs, iters=20):
+        # operands as jit ARGUMENTS, not closures: embedded constants blow
+        # the remote-compile payload limit (HTTP 413) through the tunnel
+        chain1 = jax.jit(functools.partial(chain, n=1))
+        chainN = jax.jit(functools.partial(chain, n=iters))
+        float(np.asarray(chain1(*xs)))
+        float(np.asarray(chainN(*xs)))
+        t0 = time.perf_counter(); float(np.asarray(chainN(*xs))); dtN = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(np.asarray(chain1(*xs))); dt1 = time.perf_counter() - t0
+        return max(dtN - dt1, 1e-9) / (iters - 1)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = DCTAutoencoderConfig.from_json_file(os.path.join(here, "conf", "patch14-l.json"))
+    module = DCTAutoencoderModule(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+
+    im = jnp.asarray(rng.uniform(0, 1, (1, 3, 448, 448)).astype(np.float32))
+
+    def chain_pre(im, n):
+        def body(_, x):
+            t = fused_ipt_dct_patchify(x, cfg.patch_size, 448, 448)
+            return x + 1e-30 * jnp.mean(t)
+        return jnp.sum(jax.lax.fori_loop(0, n, body, im))
+
+    batch, _ = build_packed_batch(cfg, max_seq_len=256, rows=1)
+    params = module.init(jax.random.PRNGKey(0), batch, training=False)["params"]
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+
+    def chain_model(params, patches0, n):
+        def body(_, patches):
+            out = module.apply(
+                {"params": params}, batch.replace(patches=patches), training=False
+            )
+            return out["dct_patches"].patches.astype(jnp.float32)
+        return jnp.sum(jax.lax.fori_loop(0, n, body, patches0))
+
+    plane = jnp.asarray(rng.standard_normal((1, 3, 434, 434)).astype(np.float32) * 0.1)
+
+    def chain_post(plane, n):
+        def body(_, y):
+            px = fused_idct_unpatchify_rgb(y, 448, 448)
+            return y + 1e-30 * jnp.mean(px)
+        return jnp.sum(jax.lax.fori_loop(0, n, body, plane))
+
+    t_pre = timeit(chain_pre, im)
+    t_model = timeit(chain_model, params, batch.patches)
+    t_post = timeit(chain_post, plane)
+    total_ms = (t_pre + t_model + t_post) * 1e3
+    import sys
+
+    print(
+        f"# latency(448px, 1 image): preprocess={t_pre*1e3:.2f}ms "
+        f"model={t_model*1e3:.2f}ms decode={t_post*1e3:.2f}ms",
+        file=sys.stderr,
+    )
+    return {
+        "metric": "patch14l_single_image_latency",
+        "value": round(total_ms, 2),
+        "unit": "ms",
+        "vs_baseline": 0.0,
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -303,6 +381,9 @@ def main():
         return
     if mode == "calibrated":
         print(json.dumps(bench_calibrated()))
+        return
+    if mode == "latency":
+        print(json.dumps(bench_latency()))
         return
 
     here = os.path.dirname(os.path.abspath(__file__))
