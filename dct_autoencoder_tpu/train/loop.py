@@ -371,6 +371,12 @@ def train(
     use_pixel_loss: bool = False,
     pixel_loss_max_images: int = 64,
     prefetch_batches: int = 2,
+    # 'abort' = reference parity (main.py:267-269); 'restore' = elastic
+    # recovery: on a non-finite loss, roll back to the last saved train
+    # state (pair with save_every/out_dir) and keep consuming the stream —
+    # without a checkpoint it falls back to reinitializing the optimizer
+    # around the last synced params (step/schedule reset)
+    nan_policy: str = "abort",
     log_every: int = 50,
     save_every: int = 1000,
     log_images_every: int = 0,
@@ -440,6 +446,36 @@ def train(
                 }
                 loss = metrics["loss"]
                 if not np.isfinite(loss):
+                    if nan_policy == "restore":
+                        # elastic recovery (beyond the reference's abort):
+                        # roll back to the last saved train state and keep
+                        # consuming the stream — a poisoned batch window is
+                        # skipped rather than ending the run
+                        from .checkpoint import has_train_state, load_train_state
+
+                        if out_dir and has_train_state(out_dir):
+                            state, model.patchnorm = load_train_state(
+                                out_dir, state, model.patchnorm
+                            )
+                            log(
+                                {
+                                    "step": i,
+                                    "warning": "NAN LOSS — restored last "
+                                    f"checkpoint (step {int(state.step)}), continuing",
+                                }
+                            )
+                            continue
+                        log(
+                            {
+                                "step": i,
+                                "warning": "NAN LOSS — no checkpoint to restore, "
+                                "reinitializing optimizer state and continuing",
+                            }
+                        )
+                        state = TrainState.create(
+                            model.params, tx, model.vq_stats
+                        )
+                        continue
                     # NaN abort (reference main.py:267-269)
                     log({"step": i, "error": "NAN LOSS — aborting"})
                     break

@@ -227,3 +227,66 @@ def test_train_loop_with_pixel_loss():
     )
     px = [d["pixel_loss"] for d in logs if "pixel_loss" in d]
     assert px and all(np.isfinite(px)), logs
+
+
+def test_nan_policy_restore_survives_poisoned_batch(tmp_path):
+    """Elastic recovery beyond the reference's abort: a batch that NaNs the
+    loss rolls training back to the last checkpoint and the run completes."""
+    import os
+
+    from dct_autoencoder_tpu.train.loop import train
+
+    model, proc, _ = setup_model()
+    rng = np.random.default_rng(31)
+
+    def good_pull():
+        ims = [rng.uniform(0.1, 0.9, size=(3, 32, 32)).astype(np.float32) for _ in range(3)]
+        ds = [proc.preprocess(im) for im in ims]
+        return {k: [d[k] for d in ds] for k in ds[0]}
+
+    def data_iter():
+        for j in range(6):
+            d = good_pull()
+            if j == 3:  # poison one pull: inf tokens -> NaN loss
+                d["patches"] = [p * np.nan for p in d["patches"]]
+            yield d
+
+    out_dir = str(tmp_path / "run")
+    os.makedirs(out_dir, exist_ok=True)
+    logs = []
+    train(
+        model, proc, data_iter(), batch_size=None, max_iters=6,
+        learning_rate=1e-4, log_every=1, save_every=1, out_dir=out_dir,
+        nan_policy="restore", prefetch_batches=0,
+        log=lambda d: logs.append(d) if isinstance(d, dict) else None,
+    )
+    warns = [d for d in logs if "warning" in d]
+    assert warns, "poisoned batch never triggered the restore path"
+    assert not any("error" in d for d in logs), logs
+    # training continued past the poisoned batch
+    finite_losses = [d["loss"] for d in logs if "loss" in d]
+    assert finite_losses and np.isfinite(finite_losses[-1])
+
+
+def test_nan_policy_abort_is_default():
+    from dct_autoencoder_tpu.train.loop import train
+
+    model, proc, _ = setup_model()
+    rng = np.random.default_rng(32)
+
+    def data_iter():
+        for j in range(3):
+            ims = [rng.uniform(0.1, 0.9, size=(3, 32, 32)).astype(np.float32) for _ in range(3)]
+            ds = [proc.preprocess(im) for im in ims]
+            d = {k: [dd[k] for dd in ds] for k in ds[0]}
+            if j == 1:
+                d["patches"] = [p * np.nan for p in d["patches"]]
+            yield d
+
+    logs = []
+    train(
+        model, proc, data_iter(), batch_size=None, max_iters=3,
+        learning_rate=1e-4, log_every=1, save_every=0, prefetch_batches=0,
+        log=lambda d: logs.append(d) if isinstance(d, dict) else None,
+    )
+    assert any("error" in d for d in logs), "abort policy did not fire"
