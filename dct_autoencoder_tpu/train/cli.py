@@ -61,6 +61,11 @@ def main(
     use_pixel_loss: bool = False,
     pixel_loss: float = 1.0,
     pixel_loss_max_images: int = 64,
+    # batches prefetched by a background host thread (0 disables)
+    prefetch_batches: int = 2,
+    # 'abort' (reference parity) or 'restore' (roll back to the last saved
+    # train state on a non-finite loss and continue)
+    nan_policy: str = "abort",
     should_save: bool = True,
     out_base: str = "out",
 ):
@@ -156,6 +161,8 @@ def main(
         n_model_parallel=n_model_parallel,
         use_pixel_loss=use_pixel_loss,
         pixel_loss_max_images=pixel_loss_max_images,
+        prefetch_batches=prefetch_batches,
+        nan_policy=nan_policy,
         log_every=log_every,
         save_every=save_every,
         log_images_every=log_images_every,
