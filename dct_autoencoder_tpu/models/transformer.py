@@ -42,8 +42,13 @@ class AttentionContext:
     key_pad_mask: jnp.ndarray  # (b, s) bool, True where padding
     mode: str = "block"  # 'block' | 'bias' (see config.attn_mask_mode)
     impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
+    # additionally require k-position <= q-position (decoder-only LMs over
+    # token dumps, models/ar.py); runs on the XLA path
+    causal: bool = False
 
     def resolved_impl(self, seq_len: Optional[int] = None) -> str:
+        if self.causal:
+            return "xla"  # the packed pallas kernels don't carry positions
         if self.impl != "auto":
             return self.impl
         if jax.default_backend() != "tpu":
@@ -62,6 +67,10 @@ class AttentionContext:
         allowed = (ids[:, None, :, None] == ids[:, None, None, :]) & (
             ~self.key_pad_mask[:, None, None, :]
         )
+        if self.causal:
+            s = ids.shape[-1]
+            tri = jnp.arange(s)[:, None] >= jnp.arange(s)[None, :]
+            allowed = allowed & tri[None, None]
         if self.mode == "bias":
             return allowed.astype(jnp.float32)
         return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
@@ -71,7 +80,7 @@ class AttentionContext:
 jax.tree_util.register_dataclass(
     AttentionContext,
     data_fields=["image_ids", "key_pad_mask"],
-    meta_fields=["mode", "impl"],
+    meta_fields=["mode", "impl", "causal"],
 )
 
 

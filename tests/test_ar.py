@@ -1,0 +1,122 @@
+"""AR-over-token-dumps model tests (models/ar.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dct_autoencoder_tpu.models.ar import ARConfig, ARTokenModel, ar_loss, sample_codes
+from dct_autoencoder_tpu.models.config import TransformerConfig
+
+
+def tiny_ar(codebook=32, C=4):
+    return ARConfig(
+        codebook_size=codebook,
+        num_codebooks=C,
+        image_channels=3,
+        max_patch_h=8,
+        max_patch_w=8,
+        transformer=TransformerConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4,
+        ),
+    )
+
+
+def make_data(rng, b=4, s=24, codebook=32, C=4):
+    codes = rng.integers(0, codebook, (b, s, C)).astype(np.int32)
+    chans = rng.integers(0, 3, (b, s)).astype(np.int32)
+    poss = rng.integers(0, 8, (b, s, 2)).astype(np.int32)
+    pad = np.zeros((b, s), bool)
+    pad[:, -4:] = True
+    return (jnp.asarray(codes), jnp.asarray(chans), jnp.asarray(poss), jnp.asarray(pad))
+
+
+def test_ar_causality():
+    """Logits at position t must not depend on codes at positions >= t."""
+    cfg = tiny_ar()
+    model = ARTokenModel(cfg)
+    rng = np.random.default_rng(0)
+    codes, chans, poss, pad = make_data(rng, b=1)
+    params = model.init(jax.random.PRNGKey(0), codes, chans, poss, pad, training=False)["params"]
+
+    l1 = model.apply({"params": params}, codes, chans, poss, pad, training=False)
+    t = 10
+    codes2 = codes.at[0, t:].set((codes[0, t:] + 1) % cfg.codebook_size)
+    l2 = model.apply({"params": params}, codes2, chans, poss, pad, training=False)
+    # positions <= t unaffected (logits at t depend on codes < t only)
+    np.testing.assert_allclose(np.asarray(l1)[0, : t + 1], np.asarray(l2)[0, : t + 1], atol=1e-5)
+    assert not np.allclose(np.asarray(l1)[0, t + 1], np.asarray(l2)[0, t + 1])
+
+
+def test_ar_trains_on_memorizable_data():
+    """Loss drops toward zero on a tiny repeated dataset (memorization)."""
+    import optax
+
+    cfg = tiny_ar()
+    model = ARTokenModel(cfg)
+    rng = np.random.default_rng(1)
+    codes, chans, poss, pad = make_data(rng, b=2, s=16)
+    params = model.init(jax.random.PRNGKey(0), codes, chans, poss, pad, training=False)["params"]
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, codes, chans, poss, pad, training=True)
+            return ar_loss(logits, codes, ~pad)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        u, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), opt, loss
+
+    losses = []
+    for _ in range(60):
+        params, opt, loss = step(params, opt)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+
+def test_ar_sampling_shapes_and_determinism():
+    cfg = tiny_ar()
+    model = ARTokenModel(cfg)
+    rng = np.random.default_rng(2)
+    codes, chans, poss, pad = make_data(rng, b=1, s=8)
+    params = model.init(jax.random.PRNGKey(0), codes, chans, poss, pad, training=False)["params"]
+
+    s1 = sample_codes(model, params, chans[:, :8], poss[:, :8], jax.random.PRNGKey(3))
+    s2 = sample_codes(model, params, chans[:, :8], poss[:, :8], jax.random.PRNGKey(3))
+    s3 = sample_codes(model, params, chans[:, :8], poss[:, :8], jax.random.PRNGKey(4))
+    assert s1.shape == (1, 8, cfg.num_codebooks)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    assert (np.asarray(s1) != np.asarray(s3)).any()
+    assert (np.asarray(s1) >= 0).all() and (np.asarray(s1) < cfg.codebook_size).all()
+
+
+def test_ar_example_end_to_end(tmp_path):
+    """tokenize -> AR train -> sample -> decode, on a tiny tokenizer."""
+    import jax.numpy as jnp2
+
+    from dct_autoencoder_tpu.tools.train_ar_example import main as ar_main
+    from test_model import tiny_config
+    from dct_autoencoder_tpu.pipeline import DCTPipeline
+    import os
+    from PIL import Image
+
+    # build + save a tiny tokenizer and a small image dir
+    pipe = DCTPipeline.from_config(tiny_config("lfq"), sample_patches_beta=0.0, dtype=jnp2.float32)
+    mp = str(tmp_path / "tok")
+    pipe.model.save_pretrained(mp)
+    img_dir = str(tmp_path / "imgs")
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(4)
+    for i in range(3):
+        arr = (rng.uniform(0.1, 0.9, (32, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(img_dir, f"{i}.png"))
+
+    losses = ar_main(
+        model_path=mp, image_dir=img_dir, steps=25, batch_size=4, max_len=32,
+        hidden=64, layers=2, out=str(tmp_path / "out_ar"), seed=0,
+    )
+    assert losses[-1] < losses[0]
+    assert os.path.exists(str(tmp_path / "out_ar" / "ar_sample.png"))
