@@ -114,6 +114,11 @@ def _dense(cfg: TransformerConfig, features: int, dtype, name: str):
 class MultiHeadAttention(nn.Module):
     config: TransformerConfig
     dtype: jnp.dtype = jnp.float32
+    # KV-cache length for single-token autoregressive decoding (0 = off).
+    # With cache_size > 0 and x of length 1, keys/values append into 'cache'
+    # collection variables and attention runs over the cached prefix — apply
+    # with mutable=['cache'] per step (used by models/ar.py sampling).
+    cache_size: int = 0
 
     @nn.compact
     def __call__(
@@ -134,7 +139,29 @@ class MultiHeadAttention(nn.Module):
         split = lambda t: t.reshape(b, s, h, head_dim).transpose(0, 2, 1, 3)
         q, k, v = split(q), split(k), split(v)
 
-        if attn.resolved_impl(s) == "pallas":
+        if self.cache_size > 0:
+            assert s == 1, "KV-cached decode consumes one token at a time"
+            S = self.cache_size
+            ck = self.variable(
+                "cache", "k", lambda: jnp.zeros((b, h, S, head_dim), self.dtype)
+            )
+            cv = self.variable(
+                "cache", "v", lambda: jnp.zeros((b, h, S, head_dim), self.dtype)
+            )
+            ci = self.variable("cache", "idx", lambda: jnp.zeros((), jnp.int32))
+            idx = ci.value
+            ck.value = jax.lax.dynamic_update_slice(ck.value, k, (0, 0, idx, 0))
+            cv.value = jax.lax.dynamic_update_slice(cv.value, v, (0, 0, idx, 0))
+            ci.value = idx + 1
+            # causal over the filled prefix (single sequence per row)
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, ck.value, preferred_element_type=jnp.float32
+            ) * scale
+            valid = (jnp.arange(S) <= idx)[None, None, None, :]
+            logits = jnp.where(valid, logits, NEG_INF)
+            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", weights, cv.value)
+        elif attn.resolved_impl(s) == "pallas":
             out = packed_flash_attention(
                 q, k, v, attn.image_ids, attn.key_pad_mask, scale, mode=attn.mode
             )
@@ -157,6 +184,7 @@ class MultiHeadAttention(nn.Module):
 class EncoderLayer(nn.Module):
     config: TransformerConfig
     dtype: jnp.dtype = jnp.float32
+    cache_size: int = 0
 
     @nn.compact
     def __call__(
@@ -168,9 +196,9 @@ class EncoderLayer(nn.Module):
 
         residual = x
         x = ln("layer_norm1")(x)
-        x = MultiHeadAttention(cfg, dtype=self.dtype, name="self_attn")(
-            x, attn, deterministic=deterministic
-        )
+        x = MultiHeadAttention(
+            cfg, dtype=self.dtype, cache_size=self.cache_size, name="self_attn"
+        )(x, attn, deterministic=deterministic)
         x = residual + x
 
         residual = x
@@ -188,6 +216,8 @@ class TransformerEncoder(nn.Module):
 
     config: TransformerConfig
     dtype: jnp.dtype = jnp.float32
+    # KV-cache length for token-at-a-time decode (see MultiHeadAttention)
+    cache_size: int = 0
 
     @nn.compact
     def __call__(
@@ -199,9 +229,10 @@ class TransformerEncoder(nn.Module):
             # fields are static; the pytree itself is a valid traced arg
             layer_cls = nn.remat(EncoderLayer, static_argnums=(2,))
         for i in range(self.config.num_hidden_layers):
-            x = layer_cls(self.config, dtype=self.dtype, name=f"layers_{i}")(
-                x, attn, deterministic
-            )
+            x = layer_cls(
+                self.config, dtype=self.dtype, cache_size=self.cache_size,
+                name=f"layers_{i}",
+            )(x, attn, deterministic)
         return x
 
 

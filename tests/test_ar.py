@@ -120,3 +120,24 @@ def test_ar_example_end_to_end(tmp_path):
     )
     assert losses[-1] < losses[0]
     assert os.path.exists(str(tmp_path / "out_ar" / "ar_sample.png"))
+
+
+def test_cached_sampling_matches_full_reforward():
+    """KV-cached decode == full-prefix re-forward, token for token."""
+    from dct_autoencoder_tpu.models.ar import sample_codes_cached
+
+    cfg = tiny_ar()
+    model = ARTokenModel(cfg)
+    rng = np.random.default_rng(6)
+    codes, chans, poss, pad = make_data(rng, b=1, s=12)
+    params = model.init(jax.random.PRNGKey(0), codes, chans, poss, pad, training=False)["params"]
+
+    key = jax.random.PRNGKey(9)
+    full = sample_codes(model, params, chans[:, :12], poss[:, :12], key, temperature=1.0)
+    cached = sample_codes_cached(cfg, params, chans[:, :12], poss[:, :12], key, temperature=1.0)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(cached))
+
+    # greedy too
+    g1 = sample_codes(model, params, chans[:, :12], poss[:, :12], key, temperature=0)
+    g2 = sample_codes_cached(cfg, params, chans[:, :12], poss[:, :12], key, temperature=0)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
