@@ -100,15 +100,23 @@ class ARTokenModel(nn.Module):
         x = jnp.zeros((b, s, self.config.transformer.hidden_size), self.dtype)
         for c in range(C):
             x = x + self.code_embed[c][codes[..., c]].astype(self.dtype)
-        # shift right: position t sees codes < t (BOS at t=0) + its own
-        # position embedding (the layout is conditioning, not a target)
-        x = jnp.concatenate(
-            [jnp.broadcast_to(self.bos.astype(self.dtype), (b, 1, x.shape[-1])), x[:, :-1]],
-            axis=1,
+        # shift right: position t sees codes < t + its own position embedding
+        # (the layout is conditioning, not a target).  BOS at t=0 AND at every
+        # packed-image boundary — the block mask restricts what t ATTENDS to,
+        # not t's own input embedding, so without this the first token of
+        # image k>0 would be conditioned on image k-1's last codes (a
+        # train/sample mismatch: sampling always starts from BOS)
+        ids = image_ids if image_ids is not None else jnp.zeros((b, s), jnp.int32)
+        shifted = jnp.concatenate(
+            [jnp.zeros((b, 1, x.shape[-1]), self.dtype), x[:, :-1]], axis=1
+        )
+        boundary = jnp.concatenate(
+            [jnp.ones((b, 1), bool), ids[:, 1:] != ids[:, :-1]], axis=1
+        )
+        x = jnp.where(
+            boundary[..., None], self.bos.astype(self.dtype)[None, None, :], shifted
         )
         x = x + self._pos(channels, positions).astype(self.dtype)
-
-        ids = image_ids if image_ids is not None else jnp.zeros((b, s), jnp.int32)
         ctx = AttentionContext(
             image_ids=ids, key_pad_mask=key_pad_mask, causal=True, impl="xla"
         )

@@ -58,9 +58,9 @@ class Int8Dense(nn.Module):
       rate — dequant is O(in*out), negligible next to the O(tokens*in*out)
       matmul.  Weight HBM halves; speed ~= bf16.
     mode='dynamic': per-token symmetric activation quantization so BOTH
-      operands are int8 (int8 MXU path).  Measured SLOWER than bf16 at
-      patch14-L sizes (see module docstring) — kept for cases where the
-      matmuls are large enough for the 2x int8 rate to win.
+      operands are int8 (int8 MXU path).  Measured FASTER than bf16 at the
+      headline shapes (+4.5% at 64 rows, +9% at 128 — see module docstring)
+      but ~2% of tokens flip, so it is the explicit opt-in, not the default.
 
     Weight params are expected to be REWRITTEN from a trained model by
     `quantize_dense_params` — the random init here only exists so

@@ -373,9 +373,10 @@ def train(
     prefetch_batches: int = 2,
     # 'abort' = reference parity (main.py:267-269); 'restore' = elastic
     # recovery: on a non-finite loss, roll back to the last saved train
-    # state (pair with save_every/out_dir) and keep consuming the stream —
-    # without a checkpoint it falls back to reinitializing the optimizer
-    # around the last synced params (step/schedule reset)
+    # state and keep consuming the stream.  REQUIRES out_dir + save_every
+    # (before the first save there is no clean state — current params are
+    # poisoned and the originals were donated to the jitted step — so it
+    # aborts with an explanatory error)
     nan_policy: str = "abort",
     log_every: int = 50,
     save_every: int = 1000,
@@ -432,12 +433,16 @@ def train(
         for i, raw_batch in enumerate(batch_iter):
             if i >= max_iters:
                 break
-            raw_batch = pad_batch_rows(raw_batch, n_data)
             batch, grid_sizes = prepare_train_batch(
                 raw_batch,
                 pixel_loss_max_images if use_pixel_loss else 0,
                 clip_grid,
             )
+            # pad AFTER stripping: the (b,1,s,s) attn_mask would otherwise be
+            # row-padded (a multi-MB copy per step) just to be discarded.
+            # Padding rows are fully masked, so grid_sizes (built pre-pad)
+            # stay aligned — pads add rows, not images.
+            batch = pad_batch_rows(batch, n_data)
             state, metrics = jitted(state, model.patchnorm, batch, grid_sizes)
 
             if i % log_every == 0:
@@ -465,17 +470,18 @@ def train(
                                 }
                             )
                             continue
+                        # no clean state exists to roll back to: the current
+                        # params are poisoned and the originals were DONATED
+                        # to the jitted step (buffers deleted) — restore
+                        # requires out_dir + save_every
                         log(
                             {
                                 "step": i,
-                                "warning": "NAN LOSS — no checkpoint to restore, "
-                                "reinitializing optimizer state and continuing",
+                                "error": "NAN LOSS — nan_policy='restore' needs "
+                                "a checkpoint (set out_dir + save_every); aborting",
                             }
                         )
-                        state = TrainState.create(
-                            model.params, tx, model.vq_stats
-                        )
-                        continue
+                        break
                     # NaN abort (reference main.py:267-269)
                     log({"step": i, "error": "NAN LOSS — aborting"})
                     break
@@ -516,10 +522,16 @@ def train(
             if out_dir and save_every and i > 0 and i % save_every == 0:
                 from .checkpoint import save_train_state
 
-                model.params = state.params
-                model.vq_stats = state.vq_stats
-                model.save_pretrained(f"{out_dir}/model")
-                save_train_state(out_dir, state, model.patchnorm)
+                # never checkpoint a poisoned state: a NaN can appear between
+                # log steps, and nan_policy='restore' would then restore the
+                # poisoned checkpoint forever
+                if np.isfinite(float(metrics["loss"])):
+                    model.params = state.params
+                    model.vq_stats = state.vq_stats
+                    model.save_pretrained(f"{out_dir}/model")
+                    save_train_state(out_dir, state, model.patchnorm)
+                else:
+                    log({"step": i, "warning": "skipping checkpoint: non-finite loss"})
 
         # shut the prefetch worker down promptly (its generator-finally joins
         # the thread; a thread killed mid-device-call at interpreter teardown

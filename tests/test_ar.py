@@ -141,3 +141,31 @@ def test_cached_sampling_matches_full_reforward():
     g1 = sample_codes(model, params, chans[:, :12], poss[:, :12], key, temperature=0)
     g2 = sample_codes_cached(cfg, params, chans[:, :12], poss[:, :12], key, temperature=0)
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_ar_packed_rows_no_cross_image_leakage():
+    """In packed rows, the first token of image k>0 must take BOS as its
+    input — changing EVERYTHING about image 0 must not move image 1's
+    logits (block mask handles attention; the boundary-BOS handles the
+    shifted input embedding)."""
+    cfg = tiny_ar()
+    model = ARTokenModel(cfg)
+    rng = np.random.default_rng(7)
+    b, s = 1, 16
+    codes = jnp.asarray(rng.integers(0, 32, (b, s, 4)).astype(np.int32))
+    chans = jnp.asarray(rng.integers(0, 3, (b, s)).astype(np.int32))
+    poss = jnp.asarray(rng.integers(0, 8, (b, s, 2)).astype(np.int32))
+    pad = jnp.zeros((b, s), bool)
+    ids = jnp.asarray(np.concatenate([np.zeros(8), np.ones(8)]).astype(np.int32))[None]
+    params = model.init(jax.random.PRNGKey(0), codes, chans, poss, pad,
+                        image_ids=ids, training=False)["params"]
+
+    l1 = model.apply({"params": params}, codes, chans, poss, pad,
+                     image_ids=ids, training=False)
+    codes2 = codes.at[0, :8].set((codes[0, :8] + 7) % cfg.codebook_size)
+    l2 = model.apply({"params": params}, codes2, chans, poss, pad,
+                     image_ids=ids, training=False)
+    np.testing.assert_allclose(
+        np.asarray(l1)[0, 8:], np.asarray(l2)[0, 8:], atol=1e-5,
+        err_msg="image-0 content leaked into image-1 predictions",
+    )

@@ -290,3 +290,32 @@ def test_nan_policy_abort_is_default():
         log=lambda d: logs.append(d) if isinstance(d, dict) else None,
     )
     assert any("error" in d for d in logs), "abort policy did not fire"
+
+
+def test_nan_policy_restore_without_checkpoint_aborts_cleanly():
+    """Without a checkpoint there is no clean state to roll back to (current
+    params poisoned, originals donated to the jitted step) — the run must
+    abort with an explanatory error instead of crashing or looping."""
+    from dct_autoencoder_tpu.train.loop import train
+
+    model, proc, _ = setup_model()
+    rng = np.random.default_rng(33)
+
+    def data_iter():
+        for j in range(5):
+            ims = [rng.uniform(0.1, 0.9, size=(3, 32, 32)).astype(np.float32) for _ in range(3)]
+            ds = [proc.preprocess(im) for im in ims]
+            d = {k: [dd[k] for dd in ds] for k in ds[0]}
+            if j == 2:
+                d["patches"] = [p * np.nan for p in d["patches"]]
+            yield d
+
+    logs = []
+    train(
+        model, proc, data_iter(), batch_size=None, max_iters=5,
+        learning_rate=1e-4, log_every=1, save_every=0, nan_policy="restore",
+        prefetch_batches=0,
+        log=lambda d: logs.append(d) if isinstance(d, dict) else None,
+    )
+    errs = [d for d in logs if "error" in d]
+    assert errs and "needs a checkpoint" in errs[0]["error"], logs
