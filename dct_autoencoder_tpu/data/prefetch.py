@@ -77,5 +77,8 @@ def prefetch(source: Iterable[T], buffer_size: int = 2) -> Iterator[T]:
                 q.get_nowait()
         except queue.Empty:
             pass
-        # bounded: the worker exits after at most one in-flight item
-        t.join(timeout=60)
+        # bounded by one in-flight item — but that item can be a remote
+        # compile (60-240 s on the axon tunnel), so the timeout must exceed
+        # it or the daemon thread outlives the join and the interpreter
+        # teardown aborts anyway
+        t.join(timeout=300)

@@ -85,6 +85,28 @@ class DCTAutoencoderFeatureExtractor:
         self._preproc_cache = {}
         self._postproc_cache = {}
 
+    def _use_fused_pallas(self, h: int, w: int) -> bool:
+        """ONE promotion policy for both fused front-ends (encode + decode):
+        forced 'pallas', or 'auto' on TPU for RGB images within the
+        single-VMEM-cell area guard.  Keeping encode/decode in lockstep
+        matters — a policy edit applied to one copy silently desynchronizes
+        the serving defaults."""
+        from ..kernels.dct_patchify import MAX_FUSED_AREA
+
+        if self.use_fused_kernel == "pallas":
+            if self.channels != 3:
+                raise ValueError(
+                    "use_fused_kernel='pallas' requires 3 channels (IPT/RGB "
+                    f"kernels); got channels={self.channels}"
+                )
+            return True
+        return (
+            self.use_fused_kernel == "auto"
+            and self.channels == 3
+            and h * w <= MAX_FUSED_AREA
+            and jax.default_backend() == "tpu"
+        )
+
     # ------------------------------------------------------------------ in
 
     def _get_crop_dims(self, h: int, w: int) -> Tuple[int, int]:
@@ -130,7 +152,7 @@ class DCTAutoencoderFeatureExtractor:
         pos_dist_j = jnp.asarray(pos_dist)
         chan_imp_j = jnp.asarray(chan_imp)
         mag_w = self.patch_sample_magnitude_weight
-        use_fused = self.use_fused_kernel
+        use_pallas = self._use_fused_pallas(h, w)
 
         def tokens_of(ims):
             """(B, c, h, w) RGB -> (B, ph*pw, c, p*p) cropped DCT patch tokens.
@@ -139,14 +161,6 @@ class DCTAutoencoderFeatureExtractor:
             floats: 4x less host->device transfer."""
             if ims.dtype == jnp.uint8:
                 ims = ims.astype(jnp.float32) / 255.0
-            from ..kernels.dct_patchify import MAX_FUSED_AREA
-
-            use_pallas = use_fused == "pallas" or (
-                use_fused == "auto"
-                and c == 3
-                and h * w <= MAX_FUSED_AREA
-                and jax.default_backend() == "tpu"
-            )
             if use_pallas:
                 from ..kernels.dct_patchify import fused_ipt_dct_patchify
 
@@ -183,15 +197,20 @@ class DCTAutoencoderFeatureExtractor:
             "grid": (ph, pw),
         }
 
-    def _get_preproc_fn(self, h: int, w: int):
+    def _preproc_entry(self, h: int, w: int) -> dict:
         # max_seq_len is part of the key: norm calibration temporarily raises
         # it to the full lossless grid (train/loop.py train_patch_norm), and a
         # cached cap-3072 program serving the cap-256 training phase would
-        # ship 12x more sorted-prefix data per image over the host link
+        # ship 12x more sorted-prefix data per image over the host link.
+        # Single lookup point — preprocess and preprocess_many must never
+        # diverge on the key.
         key = (h, w, self.max_seq_len)
         if key not in self._preproc_cache:
             self._preproc_cache[key] = self._build_preproc_fn(h, w)
-        e = self._preproc_cache[key]
+        return self._preproc_cache[key]
+
+    def _get_preproc_fn(self, h: int, w: int):
+        e = self._preproc_entry(h, w)
         return e["single"], e["total"], e["grid"]
 
     def preprocess_many(self, images: Sequence) -> List[dict]:
@@ -210,10 +229,7 @@ class DCTAutoencoderFeatureExtractor:
         out: List[Optional[dict]] = [None] * len(images)
         for (c, h, w), group in by_shape.items():
             assert c == self.channels
-            key = (h, w, self.max_seq_len)
-            if key not in self._preproc_cache:
-                self._preproc_cache[key] = self._build_preproc_fn(h, w)
-            e = self._preproc_cache[key]
+            e = self._preproc_entry(h, w)
             stack = np.stack([im for _, im in group])
             patches, positions, channels = e["batched"](stack)
             patches = np.asarray(patches)
@@ -424,19 +440,11 @@ class DCTAutoencoderFeatureExtractor:
     def _get_postproc_fn(self, ch: int, cw: int, h: int, w: int):
         key = (ch, cw, h, w)
         if key not in self._postproc_cache:
-            from ..kernels.dct_patchify import MAX_FUSED_AREA
-
-            # same promotion policy as the forward front-end: the single-cell
-            # fused IDCT+IPT->RGB kernel is the TPU default while the image
-            # fits one VMEM cell (measured vs the XLA pad->idct2->ipt_to_rgb
-            # path on v5e — see kernels/idct_unpatchify.py)
-            use_pallas = self.use_fused_kernel == "pallas" or (
-                self.use_fused_kernel == "auto"
-                and self.channels == 3
-                and h * w <= MAX_FUSED_AREA
-                and jax.default_backend() == "tpu"
-            )
-            if use_pallas:
+            # same promotion policy as the forward front-end (shared helper):
+            # the single-cell fused IDCT+IPT->RGB kernel is the TPU default
+            # while the image fits one VMEM cell (measured vs the XLA
+            # pad->idct2->ipt_to_rgb path on v5e — kernels/idct_unpatchify.py)
+            if self._use_fused_pallas(h, w):
                 from ..kernels.idct_unpatchify import fused_idct_unpatchify_rgb
 
                 fn = jax.jit(

@@ -26,21 +26,28 @@ def test_prefetch_propagates_exceptions():
 
 
 def test_prefetch_overlaps_production():
-    """Consumer that sleeps should find the next item already produced."""
+    """Consumer that sleeps should find the next item already produced.
+
+    Wall-clock bounds are noisy on 2 vCPUs (CLAUDE.md), so retry: serial
+    execution takes >= 0.5s by construction, overlap ~0.3s — pass if ANY
+    attempt lands clearly under the serial floor."""
     def slow_source():
         for i in range(5):
             time.sleep(0.05)
             yield i
 
-    t0 = time.time()
-    out = []
-    for x in prefetch(slow_source(), buffer_size=2):
-        time.sleep(0.05)  # consumer work overlapping producer work
-        out.append(x)
-    elapsed = time.time() - t0
-    assert out == list(range(5))
-    # serial would be ~0.5s; overlapped ~0.3s — allow slack for 2 vCPUs
-    assert elapsed < 0.45, elapsed
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        out = []
+        for x in prefetch(slow_source(), buffer_size=2):
+            time.sleep(0.05)  # consumer work overlapping producer work
+            out.append(x)
+        best = min(best, time.time() - t0)
+        assert out == list(range(5))
+        if best < 0.45:
+            break
+    assert best < 0.45, best
 
 
 def test_train_loop_with_prefetch():
