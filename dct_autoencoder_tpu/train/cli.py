@@ -66,6 +66,13 @@ def main(
     # 'abort' (reference parity) or 'restore' (roll back to the last saved
     # train state on a non-finite loss and continue)
     nan_policy: str = "abort",
+    # keep per-step model checkpoints (out/<ts>/ckpt_<step>) for tools/eval.py
+    keep_checkpoints: bool = False,
+    # VQ training knobs (reference threshold_ema_dead_code=15,
+    # modeling_dct_autoencoder.py:77; kmeans init + expiry cadence)
+    vq_kmeans_init: bool = True,
+    vq_expire_threshold: float = 15.0,
+    vq_expire_every: int = 50,
     should_save: bool = True,
     out_base: str = "out",
 ):
@@ -165,9 +172,14 @@ def main(
         nan_policy=nan_policy,
         log_every=log_every,
         save_every=save_every,
+        keep_checkpoints=keep_checkpoints,
         log_images_every=log_images_every,
         out_dir=out_dir,
         resume_path=train_state_resume_path,
+        seed=seed,
+        vq_kmeans_init=vq_kmeans_init,
+        vq_expire_threshold=vq_expire_threshold,
+        vq_expire_every=vq_expire_every,
         log=log,
     )
 

@@ -308,10 +308,17 @@ def jit_train_step(
     The TrainState sharding is inferred from how its arrays were placed
     (`shard_params` for TP layouts); batch rows ride the data axis.  XLA
     inserts the gradient all-reduce / TP collectives.
+
+    Covers the full 4-arg step signature (state, patchnorm, batch,
+    grid_sizes) — call with grid_sizes=None explicitly when not using the
+    pixel loss.
     """
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
-    return jax.jit(train_step, in_shardings=(None, rep, bsh), donate_argnums=(0,))
+    # 4th arg = pixel-loss grid_sizes (small replicated array; None sharding)
+    return jax.jit(
+        train_step, in_shardings=(None, rep, bsh, None), donate_argnums=(0,)
+    )
 
 
 def train_patch_norm(
@@ -380,10 +387,19 @@ def train(
     nan_policy: str = "abort",
     log_every: int = 50,
     save_every: int = 1000,
+    # keep a model-only copy of each periodic save at out_dir/ckpt_<step>
+    # (for per-checkpoint eval, tools/eval.py) instead of overwriting
+    keep_checkpoints: bool = False,
     log_images_every: int = 0,
     n_log_images: int = 10,
     out_dir: Optional[str] = None,
     resume_path: Optional[str] = None,
+    # VQ training knobs (reference threshold_ema_dead_code / kmeans_init,
+    # modeling_dct_autoencoder.py:77): see make_train_step
+    seed: int = 0,
+    vq_kmeans_init: bool = True,
+    vq_expire_threshold: float = 15.0,
+    vq_expire_every: int = 50,
     log: Callable[[Dict], None] = print,
 ) -> Tuple[DCTAutoencoder, TrainState]:
     """Main training loop (reference main.py:151-280).
@@ -412,6 +428,10 @@ def train(
         warmup_dict,
         grad_accumulation_steps,
         use_pixel_loss=use_pixel_loss,
+        seed=seed,
+        vq_kmeans_init=vq_kmeans_init,
+        vq_expire_threshold=vq_expire_threshold,
+        vq_expire_every=vq_expire_every,
     )
     clip_grid = (model.config.max_patch_h, model.config.max_patch_w)
     rep = replicated(mesh)
@@ -530,6 +550,8 @@ def train(
                     model.vq_stats = state.vq_stats
                     model.save_pretrained(f"{out_dir}/model")
                     save_train_state(out_dir, state, model.patchnorm)
+                    if keep_checkpoints:
+                        model.save_pretrained(f"{out_dir}/ckpt_{i:06d}")
                 else:
                     log({"step": i, "warning": "skipping checkpoint: non-finite loss"})
 
