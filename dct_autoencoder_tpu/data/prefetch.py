@@ -77,8 +77,28 @@ def prefetch(source: Iterable[T], buffer_size: int = 2) -> Iterator[T]:
                 q.get_nowait()
         except queue.Empty:
             pass
-        # bounded by one in-flight item — but that item can be a remote
-        # compile (60-240 s on the axon tunnel), so the timeout must exceed
-        # it or the daemon thread outlives the join and the interpreter
-        # teardown aborts anyway
-        t.join(timeout=300)
+        # The worker is usually bounded by one in-flight item, but that item
+        # can be a remote compile (60-240 s on the axon tunnel).  Join in
+        # short slices so a Ctrl-C'd consumer isn't silently stuck for
+        # minutes, warn while waiting, and register a final join at exit —
+        # a daemon thread killed mid-device-call at interpreter teardown
+        # aborts the process on the remote backend.
+        deadline = 300.0
+        waited = 0.0
+        while t.is_alive() and waited < deadline:
+            t.join(timeout=15.0)
+            waited += 15.0
+            if t.is_alive() and waited in (15.0, 60.0, 120.0, 240.0):
+                print(
+                    f"[prefetch] waiting on worker shutdown ({waited:.0f}s — "
+                    "likely blocked in a slow source next(), e.g. a remote compile)"
+                )
+        if t.is_alive():
+            print(
+                "[prefetch] WARNING: worker did not stop within "
+                f"{deadline:.0f}s; registering a final join at interpreter "
+                "exit (a daemon thread dying mid-device-call aborts the process)"
+            )
+            import atexit
+
+            atexit.register(t.join, 60.0)

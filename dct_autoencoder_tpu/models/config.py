@@ -34,7 +34,7 @@ class TransformerConfig:
     # 'weight_only' (bf16-rate matmuls, half weight HBM) or 'dynamic'
     # (both-operand int8 on the int8 MXU; see models/quant.py for measured
     # tradeoffs at patch14-L sizes)
-    quantize_int8_mode: str = "weight_only" 
+    quantize_int8_mode: str = "weight_only"
 
     @classmethod
     def from_dict(cls, d: dict) -> "TransformerConfig":

@@ -74,6 +74,10 @@ class Int8Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert self.mode in ("weight_only", "dynamic"), (
+            f"quantize_int8_mode must be 'weight_only' or 'dynamic', got "
+            f"{self.mode!r}"
+        )
         in_dim = x.shape[-1]
         kernel_q = self.param(
             "kernel_q",

@@ -431,6 +431,58 @@ def expire_dead_codes_params(
     return jax.vmap(per_head, in_axes=(0, 0, 2, 0))(codebook, cluster_size, z, keys)
 
 
+def expire_dead_codes_ema_stats(
+    stats: dict,  # the 'vq_model' vq_stats subtree (EMA-codebook mode)
+    z: jnp.ndarray,  # (b, n, h, d)
+    mask: jnp.ndarray,  # (b, n)
+    rng: jax.Array,
+    threshold: float,
+) -> dict:
+    """Dead-code expiry for the EMA-codebook operating mode (ema_update=True).
+
+    The codebook lives in vq_stats (embed / embed_avg / ema_cluster_size),
+    so expiry edits the stats: dead rows get random valid batch samples,
+    embed_avg is reset to sample * reset_cluster_size and the cluster sizes
+    to the threshold (reference EuclideanCodebook.expire_codes_ +
+    replace_, vector_quantize.py:489-507, reset_cluster_size default =
+    threshold_ema_dead_code).  Other keys (affine stats) pass through."""
+    embed = stats["embed"]
+    usage = stats["cluster_size"]
+    b, n, h, d = z.shape
+
+    if embed.ndim == 2:
+        dead = usage < threshold
+        valid = jnp.broadcast_to(mask[..., None], (b, n, h))
+        samples = sample_valid_vectors(z, valid, embed.shape[0], rng)
+        rep = lambda x, new: jnp.where(dead[:, None], new.astype(x.dtype), x)
+        return dict(
+            stats,
+            embed=rep(embed, samples),
+            embed_avg=rep(stats["embed_avg"], samples * threshold),
+            ema_cluster_size=jnp.where(dead, threshold, stats["ema_cluster_size"]),
+            cluster_size=jnp.where(dead, threshold, usage),
+        )
+
+    def per_head(emb_h, avg_h, emac_h, use_h, zh, key):
+        dead = use_h < threshold
+        samples = sample_valid_vectors(zh, mask, emb_h.shape[0], key)
+        rep = lambda x, new: jnp.where(dead[:, None], new.astype(x.dtype), x)
+        return (
+            rep(emb_h, samples),
+            rep(avg_h, samples * threshold),
+            jnp.where(dead, threshold, emac_h),
+            jnp.where(dead, threshold, use_h),
+        )
+
+    keys = jax.random.split(rng, h)
+    emb, avg, emac, use = jax.vmap(per_head, in_axes=(0, 0, 0, 0, 2, 0))(
+        embed, stats["embed_avg"], stats["ema_cluster_size"], usage, z, keys
+    )
+    return dict(
+        stats, embed=emb, embed_avg=avg, ema_cluster_size=emac, cluster_size=use
+    )
+
+
 # --------------------------------------------------------------------------
 # Functional EMA codebook machinery (the reference's other operating modes)
 # --------------------------------------------------------------------------

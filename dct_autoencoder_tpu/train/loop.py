@@ -149,19 +149,11 @@ def make_train_step(
         threshold_ema_dead_code=15, vector_quantize.py:489-507).
     """
     is_vq = module.config.vq_type == "vq"
-    if use_pixel_loss:
-        assert accum_steps == 1, (
-            "pixel loss + grad accumulation unsupported: image slots are "
-            "batch-global, micro-batch rows would misalign with grid_sizes"
-        )
-    if is_vq:
-        assert accum_steps == 1, (
-            "VQ mode + grad accumulation unsupported: EMA stats update once "
-            "per step, micro-batches would double-count"
-        )
     base_key = jax.random.PRNGKey(seed)
 
-    def loss_fn(params, vq_stats, patchnorm, batch, step, rng, grid_sizes=None):
+    def loss_fn(
+        params, vq_stats, patchnorm, batch, step, rng, grid_sizes=None, pixel_rows=None
+    ):
         normalized = batch.replace(patches=apply_patchnorm(patchnorm, batch))
         losses = step_autoencoder(
             module,
@@ -171,6 +163,7 @@ def make_train_step(
             normalized,
             training=True,
             pixel_grid_sizes=grid_sizes,
+            pixel_rows=pixel_rows,
             rng=rng,
             vq_stats=vq_stats if is_vq else None,
         )
@@ -192,30 +185,65 @@ def make_train_step(
             (_, (metrics, new_vq_stats, vq_z)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, state.vq_stats, patchnorm, batch, state.step, rng, grid_sizes)
+            surgery_mask = ~batch.key_pad_mask
         else:
-            # micro-batch over the leading axis with a scan: grads averaged
+            # micro-batch over the leading (row) axis with a scan: grads are
+            # averaged; VQ EMA stats thread micro->micro (the reference's
+            # accumulate wraps the whole step, so its EMA buffers also update
+            # on every micro-batch forward, main.py:186,221); the pixel loss
+            # maps each micro-batch's rows onto its GLOBAL image slots so
+            # grid_sizes (built once for the full batch) stay aligned.
             b = batch.patches.shape[0]
+            assert b % accum_steps == 0, (
+                f"batch rows ({b}) must divide grad_accumulation_steps "
+                f"({accum_steps}) — pad_batch_rows to a multiple"
+            )
             mb = b // accum_steps
 
-            def micro(i):
+            if use_pixel_loss:
+                from .pixel_loss import row_image_layout
+
+                g_offsets, n_per_row = row_image_layout(batch)
+                max_images = grid_sizes.shape[0]
+
+            def micro(i, vqs):
                 sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * mb, mb, axis=0)
                 micro_batch = jax.tree_util.tree_map(sl, batch)
+                rng_i = jax.random.fold_in(rng, i) if rng is not None else None
+                pixel_rows = None
+                if use_pixel_loss:
+                    row_off = jax.lax.dynamic_slice_in_dim(g_offsets, i * mb, mb)
+                    counts = jax.lax.dynamic_slice_in_dim(n_per_row, i * mb, mb)
+                    start, count = row_off[0], counts.sum()
+                    slots = jnp.arange(max_images)
+                    pixel_rows = (row_off, (slots >= start) & (slots < start + count))
                 return jax.value_and_grad(loss_fn, has_aux=True)(
-                    state.params, state.vq_stats, patchnorm, micro_batch, state.step, rng
+                    state.params, vqs, patchnorm, micro_batch, state.step,
+                    rng_i, grid_sizes, pixel_rows,
                 )
 
             def body(carry, i):
-                (gacc, macc) = carry
-                (_, (metrics, _, _)), grads = micro(i)
+                gacc, macc, vqs, _ = carry
+                (_, (metrics, new_vqs, vq_z)), grads = micro(i, vqs)
+                if not is_vq:
+                    new_vqs, vq_z = vqs, None
                 gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
                 macc = jax.tree_util.tree_map(jnp.add, macc, metrics)
-                return (gacc, macc), None
+                return (gacc, macc, new_vqs, vq_z), None
 
-            (_, (m0, _, _)), g0 = micro(0)
-            (grads, msum), _ = jax.lax.scan(body, (g0, m0), jnp.arange(1, accum_steps))
+            (_, (m0, vqs0, z0)), g0 = micro(0, state.vq_stats)
+            if not is_vq:
+                vqs0, z0 = state.vq_stats, None
+            (grads, msum, new_vq_stats, vq_z), _ = jax.lax.scan(
+                body, (g0, m0, vqs0, z0), jnp.arange(1, accum_steps)
+            )
             grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
             metrics = jax.tree_util.tree_map(lambda m: m / accum_steps, msum)
-            new_vq_stats, vq_z = None, None
+            if not is_vq:
+                new_vq_stats = None
+            # codebook surgery samples replacement codes from the batch; use
+            # the LAST micro-batch (whose vq_z rode the scan carry out)
+            surgery_mask = ~batch.key_pad_mask[(accum_steps - 1) * mb :]
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -223,11 +251,12 @@ def make_train_step(
         if new_vq_stats is None:
             new_vq_stats = state.vq_stats
         if is_vq and vq_z is not None:
-            new_params, new_vq_stats = _vq_codebook_surgery(
+            new_params, new_vq_stats, new_opt_state = _vq_codebook_surgery(
                 new_params,
                 new_vq_stats,
+                new_opt_state,
                 vq_z,
-                ~batch.key_pad_mask,
+                surgery_mask,
                 state.step,
                 rng,
                 kmeans_init=vq_kmeans_init,
@@ -247,9 +276,32 @@ def make_train_step(
     return train_step
 
 
+def _zero_codebook_moments(opt_state: Any, replaced: jnp.ndarray, cb_shape) -> Any:
+    """Zero Adam mu/nu rows for codebook entries replaced by surgery.
+
+    Surgically replaced codes (k-means init, dead-code expiry) would otherwise
+    inherit momentum accumulated for the OLD code at that slot, immediately
+    perturbing the fresh value.  Moments are located structurally: any
+    opt-state leaf shaped like the codebook whose tree path ends in a
+    'codebook' key (Adam's mu and nu mirror the param tree)."""
+    keep = (~replaced).astype(jnp.float32)[..., None]  # (z, 1) or (h, z, 1)
+
+    def fix(path, leaf):
+        if (
+            hasattr(leaf, "shape")
+            and tuple(leaf.shape) == tuple(cb_shape)
+            and any(getattr(k, "key", None) == "codebook" for k in path)
+        ):
+            return leaf * keep.astype(leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, opt_state)
+
+
 def _vq_codebook_surgery(
     params: Any,
     vq_stats: Any,
+    opt_state: Any,
     vq_z: jnp.ndarray,  # (b, n, h, d) pre-quantization projections
     mask: jnp.ndarray,  # (b, n) valid tokens
     step: jnp.ndarray,
@@ -257,44 +309,79 @@ def _vq_codebook_surgery(
     kmeans_init: bool,
     expire_threshold: float,
     expire_every: int,
-) -> Tuple[Any, Any]:
-    """In-jit functional codebook surgery for VQ training (see make_train_step)."""
-    from ..models.vq import expire_dead_codes_params, kmeans_init_from_batch
+) -> Tuple[Any, Any, Any]:
+    """In-jit functional codebook surgery for VQ training (see make_train_step).
 
+    Documented deviation from the reference cadence: expire_codes_ runs every
+    forward there (vector_quantize.py:489-507); here every expire_every steps
+    (usage EMA still updates every step), and k-means init lands after step
+    0's gradient update rather than before its quantization."""
+    from ..models.vq import (
+        expire_dead_codes_ema_stats,
+        expire_dead_codes_params,
+        kmeans_init_from_batch,
+    )
+
+    rng_k, rng_e = jax.random.split(rng)
     if "codebook" not in params.get("vq_model", {}):
         # EMA-codebook mode: the codebook lives in vq_stats and maintains
-        # itself inside apply; no param surgery applies
-        return params, vq_stats
+        # itself inside apply; surgery targets the stats (the reference's
+        # EuclideanCodebook expires dead codes in this mode too)
+        stats = dict(vq_stats["vq_model"])
+        if kmeans_init:
+
+            def do_init(s):
+                emb = kmeans_init_from_batch(s["embed"], vq_z, mask, rng_k)
+                return dict(s, embed=emb, embed_avg=emb.astype(s["embed_avg"].dtype))
+
+            stats = jax.lax.cond(step == 0, do_init, lambda s: dict(s), stats)
+        if expire_threshold > 0 and expire_every > 0 and "cluster_size" in stats:
+            stats = jax.lax.cond(
+                (step % expire_every) == (expire_every - 1),
+                lambda s: expire_dead_codes_ema_stats(
+                    s, vq_z, mask, rng_e, expire_threshold
+                ),
+                lambda s: dict(s),
+                stats,
+            )
+        vq_stats = dict(vq_stats, vq_model=stats)
+        return params, vq_stats, opt_state
+
     cb = params["vq_model"]["codebook"]
-    rng_k, rng_e = jax.random.split(rng)
+    replaced = jnp.zeros(cb.shape[:-1], bool)
 
     if kmeans_init:
-        cb = jax.lax.cond(
+        cb, replaced = jax.lax.cond(
             step == 0,
-            lambda c: kmeans_init_from_batch(c, vq_z, mask, rng_k),
-            lambda c: c,
+            lambda c, r: (kmeans_init_from_batch(c, vq_z, mask, rng_k), jnp.ones_like(r)),
+            lambda c, r: (c, r),
             cb,
+            replaced,
         )
 
     if expire_threshold > 0 and expire_every > 0:
         cs = vq_stats["vq_model"]["cluster_size"]
 
-        def do_expire(args):
-            c, s = args
-            return expire_dead_codes_params(c, s, vq_z, mask, rng_e, expire_threshold)
+        def do_expire(c, s, r):
+            dead = s < expire_threshold
+            c2, s2 = expire_dead_codes_params(c, s, vq_z, mask, rng_e, expire_threshold)
+            return c2, s2, r | dead
 
-        cb, cs = jax.lax.cond(
+        cb, cs, replaced = jax.lax.cond(
             (step % expire_every) == (expire_every - 1),
             do_expire,
-            lambda args: args,
-            (cb, cs),
+            lambda c, s, r: (c, s, r),
+            cb,
+            cs,
+            replaced,
         )
         vq_stats = dict(vq_stats)
         vq_stats["vq_model"] = dict(vq_stats["vq_model"], cluster_size=cs)
 
+    opt_state = _zero_codebook_moments(opt_state, replaced, cb.shape)
     params = dict(params)
     params["vq_model"] = dict(params["vq_model"], codebook=cb)
-    return params, vq_stats
+    return params, vq_stats, opt_state
 
 
 def jit_train_step(

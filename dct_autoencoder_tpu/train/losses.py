@@ -42,6 +42,7 @@ def step_autoencoder(
     normalized_batch: DCTPatches,
     training: bool = True,
     pixel_grid_sizes: Optional[jnp.ndarray] = None,
+    pixel_rows: Optional[Any] = None,
     rng: Optional[jnp.ndarray] = None,
     vq_stats: Optional[Any] = None,
 ) -> Dict[str, jnp.ndarray]:
@@ -52,6 +53,8 @@ def step_autoencoder(
     per-image patch grids (see pixel_loss.make_grid_sizes).  The whole
     unpatch -> IDCT -> IPT->RGB chain is inside this jitted step and
     backpropagated through, exactly like the reference's eager autograd.
+    pixel_rows (grad accumulation) carries (row_offsets, slot_valid) mapping
+    this micro-batch's rows onto GLOBAL image slots of pixel_grid_sizes.
 
     vq_stats != None (VQ mode) applies with mutable=['vq_stats'] so the EMA
     affine/usage statistics update; the new state is returned under the
@@ -98,6 +101,7 @@ def step_autoencoder(
         target = jax.lax.stop_gradient(
             inverse_patchnorm(patchnorm, normalized_batch)
         )
+        row_offsets, slot_valid = pixel_rows if pixel_rows is not None else (None, None)
         losses["pixel_loss"] = packed_pixel_loss(
             unnormalized,
             target,
@@ -106,6 +110,8 @@ def step_autoencoder(
             (cfg.max_patch_h, cfg.max_patch_w),
             cfg.patch_size,
             cfg.image_channels,
+            row_offsets=row_offsets,
+            slot_valid=slot_valid,
         )
 
     # metrics (stop-gradient)

@@ -15,7 +15,7 @@ are allocated for `max_images` slots and masked by a validity vector.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -84,11 +84,13 @@ def np_prod(shape) -> int:
     return out
 
 
-def row_offsets_in_jit(batch: DCTPatches) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """In-jit per-row global image offsets + total image count.
+def row_image_layout(batch: DCTPatches) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """In-jit per-row (global image offset, image count) arrays.
 
-    Traced twin of make_row_offsets: rows contribute their packed images in
-    order, so row r's images start at sum of images in rows < r.
+    Rows contribute their packed images in order, so row r's images occupy
+    global slots [offsets[r], offsets[r] + n_per_row[r]).  Packing never
+    splits an image across rows, so slot ranges of distinct rows are disjoint
+    — the property micro-batch slicing relies on.
     """
     ids = batch.batched_image_ids
     pad = batch.key_pad_mask
@@ -96,6 +98,12 @@ def row_offsets_in_jit(batch: DCTPatches) -> Tuple[jnp.ndarray, jnp.ndarray]:
     max_id = jnp.max(jnp.where(pad, -1, ids), axis=1)
     n_per_row = jnp.where(any_valid, max_id + 1, 0).astype(jnp.int32)
     offsets = (jnp.cumsum(n_per_row) - n_per_row).astype(jnp.int32)
+    return offsets, n_per_row
+
+
+def row_offsets_in_jit(batch: DCTPatches) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """In-jit per-row global image offsets + total image count."""
+    offsets, n_per_row = row_image_layout(batch)
     return offsets, n_per_row.sum()
 
 
@@ -107,6 +115,8 @@ def packed_pixel_loss(
     grid: Tuple[int, int],  # (max_patch_h, max_patch_w) static canvas grid
     patch_size: int,
     channels: int,
+    row_offsets: Optional[jnp.ndarray] = None,  # (b,) global image offsets
+    slot_valid: Optional[jnp.ndarray] = None,  # (max_images,) slots to average
 ) -> jnp.ndarray:
     """Reference-parity RGB pixel loss, computed wholly inside jit.
 
@@ -127,7 +137,16 @@ def packed_pixel_loss(
     slots or whose grid exceeds the canvas are excluded from the average.
     """
     max_images = grid_sizes.shape[0]
-    offsets, n_images = row_offsets_in_jit(batch)
+    if row_offsets is None:
+        # whole-batch mode: image slots are this batch's packing order
+        offsets, n_images = row_offsets_in_jit(batch)
+        slot_valid = jnp.arange(max_images) < n_images
+    else:
+        # micro-batch mode (grad accumulation): the caller passes GLOBAL
+        # per-row image offsets and the slot window this micro-batch owns,
+        # so grid_sizes (built once for the full batch) stay aligned
+        offsets = row_offsets
+        assert slot_valid is not None
     rec = unpatch_to_images(
         rec_patches, batch, offsets, grid, patch_size, channels, max_images
     )
@@ -138,7 +157,7 @@ def packed_pixel_loss(
     denom = (
         channels * grid_sizes[:, 0] * patch_size * grid_sizes[:, 1] * patch_size
     ).astype(jnp.float32)
-    slot_valid = (jnp.arange(max_images) < n_images) & (grid_sizes[:, 0] > 0)
+    slot_valid = slot_valid & (grid_sizes[:, 0] > 0)
     per_image = jnp.where(slot_valid, se / jnp.maximum(denom, 1.0), 0.0)
     return per_image.sum() / jnp.maximum(slot_valid.sum(), 1)
 

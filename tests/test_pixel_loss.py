@@ -114,6 +114,55 @@ def test_packed_pixel_loss_matches_eager_reference():
     assert got > 0
 
 
+def test_packed_pixel_loss_micro_slot_alignment():
+    """Micro-batch mode (grad accumulation): per-half losses computed with
+    GLOBAL row offsets + slot windows must recombine (image-count weighted)
+    into exactly the full-batch loss — proving micro rows land on the right
+    grid_sizes slots."""
+    from dct_autoencoder_tpu.train.pixel_loss import (
+        make_grid_sizes,
+        packed_pixel_loss,
+        row_image_layout,
+    )
+
+    rng = np.random.default_rng(5)
+    proc, ims, batch = make_bucketed_batch(rng, n_images=4)
+    b = batch.patches.shape[0]
+    assert b % 2 == 0 and b >= 2
+    grid = (proc.max_patch_h, proc.max_patch_w)
+    gs = make_grid_sizes(batch, max_images=8, clip_grid=grid)
+
+    noise = rng.standard_normal(batch.patches.shape).astype(np.float32) * 0.05
+    noise = noise * (~np.asarray(batch.key_pad_mask))[..., None]
+    rec = batch.patches + noise
+
+    full = float(packed_pixel_loss(rec, batch.patches, batch, gs, grid, proc.patch_size, 3))
+
+    offsets, n_per_row = jax.tree_util.tree_map(np.asarray, row_image_layout(batch))
+    mb = b // 2
+    halves = []
+    for i in range(2):
+        sl = lambda x: x[i * mb : (i + 1) * mb]
+        micro = jax.tree_util.tree_map(sl, batch)
+        start = offsets[i * mb]
+        count = n_per_row[i * mb : (i + 1) * mb].sum()
+        slots = np.arange(8)
+        slot_valid = jnp.asarray((slots >= start) & (slots < start + count))
+        loss_i = float(
+            packed_pixel_loss(
+                sl(rec), sl(np.asarray(batch.patches)), micro, gs, grid,
+                proc.patch_size, 3,
+                row_offsets=jnp.asarray(offsets[i * mb : (i + 1) * mb]),
+                slot_valid=slot_valid,
+            )
+        )
+        halves.append((loss_i, int(count)))
+
+    want = sum(l * n for l, n in halves) / sum(n for _, n in halves)
+    np.testing.assert_allclose(full, want, rtol=1e-5)
+    assert halves[0][0] != halves[1][0]  # distinct image content per half
+
+
 def test_packed_pixel_loss_masks_overflow_images():
     from dct_autoencoder_tpu.train.pixel_loss import (
         make_grid_sizes,

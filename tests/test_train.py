@@ -95,6 +95,49 @@ def test_train_step_grad_accumulation_matches():
     assert 0.2 < g2 / g1 < 5.0
 
 
+def test_grad_accumulation_with_pixel_loss_matches():
+    """Pixel loss composes with accumulation (VERDICT r2 item 2): with one
+    equal-size image per row, micro means equal the global mean, so the
+    accum=2 step must reproduce accum=1 (entropy term off: it is the one
+    loss that is nonlinear in the batch split)."""
+    from dct_autoencoder_tpu.train.loop import prepare_train_batch
+
+    model, proc, batch = setup_model()  # four 32px images -> 4 rows, 1 image/row
+    assert batch.patches.shape[0] == 4
+    sb, gs = prepare_train_batch(batch, pixel_loss_max_images=8, clip_grid=(8, 8))
+    weights = dict(entropy_loss=0.0, pixel_loss=1.0)
+    # SGD keeps params linear in grads — Adam's sqrt(nu) normalization would
+    # amplify float-accumulation noise on near-zero grads into sign flips
+    import optax
+
+    tx = optax.sgd(1e-2)
+
+    outs = {}
+    for accum in (1, 2):
+        step = jax.jit(
+            make_train_step(
+                model.module, tx, loss_weights=weights, accum_steps=accum,
+                use_pixel_loss=True,
+            )
+        )
+        s = TrainState.create(model.params, tx)
+        s, m = step(s, model.patchnorm, sb, gs)
+        outs[accum] = (s, m)
+
+    m1, m2 = outs[1][1], outs[2][1]
+    np.testing.assert_allclose(
+        float(m1["pixel_loss"]), float(m2["pixel_loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-3
+    )
+    p1 = jax.tree_util.tree_leaves(outs[1][0].params)
+    p2 = jax.tree_util.tree_leaves(outs[2][0].params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_train_patch_norm_phase():
     model, proc, _ = setup_model()
     rng = np.random.default_rng(1)

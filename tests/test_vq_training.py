@@ -102,6 +102,85 @@ def test_vq_train_step_kmeans_init_and_dead_code_expiry():
     assert (cs2[dead] >= 15.0 - 1e-6).all(), "expired codes' usage not reset"
 
 
+def _codebook_moment_leaves(opt_state, cb_shape):
+    flat = jax.tree_util.tree_flatten_with_path(opt_state)[0]
+    return [
+        np.asarray(v)
+        for p, v in flat
+        if hasattr(v, "shape")
+        and tuple(v.shape) == tuple(cb_shape)
+        and any(getattr(k, "key", None) == "codebook" for k in p)
+    ]
+
+
+def test_vq_train_step_grad_accumulation():
+    """VQ mode composes with accumulation (VERDICT r2 item 2): EMA stats
+    thread micro->micro, surgery fires from the final micro-batch, and
+    surgically replaced codebook rows get their Adam moments zeroed."""
+    model, proc, batch = setup_vq()
+    from dct_autoencoder_tpu.train.loop import prepare_train_batch
+
+    sb, _ = prepare_train_batch(batch)
+    assert sb.patches.shape[0] % 2 == 0
+    tx = make_optimizer(learning_rate=1e-3, max_iters=100, warmup_steps=0)
+    step = jax.jit(
+        make_train_step(model.module, tx, accum_steps=2, vq_expire_every=2)
+    )
+    state = TrainState.create(model.params, tx, model.vq_stats)
+    cb0 = np.asarray(state.params["vq_model"]["codebook"])
+
+    state, m = step(state, model.patchnorm, sb)
+    assert np.isfinite(float(m["loss"]))
+    cb1 = np.asarray(state.params["vq_model"]["codebook"])
+    assert not np.allclose(cb0, cb1), "kmeans init did not fire under accum"
+    # usage stats accumulated across both micro-batches
+    assert np.asarray(state.vq_stats["vq_model"]["cluster_size"]).sum() > 0
+    # step 0 kmeans replaces every code -> codebook Adam moments reset
+    moments = _codebook_moment_leaves(state.opt_state, cb1.shape)
+    assert len(moments) >= 2, "expected Adam mu+nu codebook leaves"
+    for mom in moments:
+        np.testing.assert_allclose(mom, 0.0, atol=1e-12)
+
+    cs1 = np.asarray(state.vq_stats["vq_model"]["cluster_size"])
+    state, m = step(state, model.patchnorm, sb)  # step 1: expiry (every=2)
+    cb2 = np.asarray(state.params["vq_model"]["codebook"])
+    dead = cs1 < 15.0
+    assert dead.any()
+    assert not np.allclose(cb1[dead], cb2[dead]), "dead codes not replaced under accum"
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_ema_mode_dead_code_expiry_in_train_step():
+    """EMA-codebook mode (ema_update=True): threshold_ema_dead_code must
+    still expire codes — the codebook lives in vq_stats, so surgery edits
+    embed/embed_avg/cluster stats (reference EuclideanCodebook.expire_codes_)."""
+    from dct_autoencoder_tpu.models.vq import expire_dead_codes_ema_stats
+
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.standard_normal((2, 16, 2, 8)).astype(np.float32))
+    mask = jnp.ones((2, 16), dtype=bool)
+    stats = {
+        "embed": jnp.asarray(rng.standard_normal((2, 32, 8)).astype(np.float32)),
+        "embed_avg": jnp.asarray(rng.standard_normal((2, 32, 8)).astype(np.float32)),
+        "ema_cluster_size": jnp.zeros((2, 32)),
+        "cluster_size": jnp.asarray(
+            rng.uniform(0, 30, size=(2, 32)).astype(np.float32)
+        ),
+        "batch_mean": jnp.zeros((8,)),  # affine keys must pass through
+    }
+    out = expire_dead_codes_ema_stats(stats, z, mask, jax.random.PRNGKey(0), 15.0)
+    dead = np.asarray(stats["cluster_size"]) < 15.0
+    assert dead.any() and (~dead).any()
+    emb0, emb1 = np.asarray(stats["embed"]), np.asarray(out["embed"])
+    assert not np.allclose(emb0[dead], emb1[dead]), "dead codes kept"
+    np.testing.assert_allclose(emb0[~dead], emb1[~dead])
+    np.testing.assert_allclose(np.asarray(out["cluster_size"])[dead], 15.0)
+    np.testing.assert_allclose(np.asarray(out["ema_cluster_size"])[dead], 15.0)
+    # embed_avg reset to sample * reset_cluster_size
+    np.testing.assert_allclose(emb1[dead] * 15.0, np.asarray(out["embed_avg"])[dead], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["batch_mean"]), 0.0)
+
+
 def test_vq_train_step_reduces_loss():
     model, proc, batch = setup_vq()
     from dct_autoencoder_tpu.train.loop import prepare_train_batch
