@@ -68,7 +68,20 @@ def _q_block_size(s: int) -> int:
     return s
 
 
-def _attn_fwd_kernel(qid_ref, kid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, mode):
+def _causal_allowed(allowed, q_block_start, bq, s):
+    """AND the packed-segment mask with k_pos <= q_pos (row positions).
+
+    Causality in packed AR rows is positional within the row: token i may
+    attend tokens 0..i of its own image block.  Positions are the row
+    indices, so the mask derives from the grid — no extra operands."""
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 0) + q_block_start
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 1)
+    return allowed & (k_pos <= q_pos)
+
+
+def _attn_fwd_kernel(
+    qid_ref, kid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, mode, causal, bq
+):
     """One (batch*head, q-block) cell: full-stripe softmax attention.
 
     qid/kid: (1, 1, bq) / (1, 1, s) int32 segment ids (padding = -1 on the k
@@ -78,6 +91,7 @@ def _attn_fwd_kernel(qid_ref, kid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, s
     q = q_ref[0, 0]  # (bq, d)
     k = k_ref[0, 0]  # (s, d)
     v = v_ref[0, 0]
+    s = k.shape[0]
 
     logits = jax.lax.dot_general(
         q,
@@ -88,6 +102,8 @@ def _attn_fwd_kernel(qid_ref, kid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, s
     logits = logits * scale
 
     allowed = qid_ref[0, 0, :][:, None] == kid_ref[0, 0, :][None, :]
+    if causal:
+        allowed = _causal_allowed(allowed, pl.program_id(1) * bq, bq, s)
     if mode == "bias":
         # reference parity: boolean mask added to logits (+1 inside block)
         logits = logits + allowed.astype(jnp.float32)
@@ -113,7 +129,7 @@ def _attn_fwd_kernel(qid_ref, kid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, s
     )
 
 
-def _flash_attention_fwd_impl(q, k, v, q_ids, kv_ids, scale, mode, interpret):
+def _flash_attention_fwd_impl(q, k, v, q_ids, kv_ids, scale, mode, causal, interpret):
     b, h, s, d = q.shape
     bq = _q_block_size(s)
     n_q = s // bq
@@ -137,7 +153,9 @@ def _flash_attention_fwd_impl(q, k, v, q_ids, kv_ids, scale, mode, interpret):
     q_ids = q_ids.reshape(b, 1, s)
     kv_ids = kv_ids.reshape(b, 1, s)
 
-    kernel = functools.partial(_attn_fwd_kernel, scale=scale, mode=mode)
+    kernel = functools.partial(
+        _attn_fwd_kernel, scale=scale, mode=mode, causal=causal, bq=bq
+    )
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -166,7 +184,7 @@ def _flash_attention_fwd_impl(q, k, v, q_ids, kv_ids, scale, mode, interpret):
 
 def _attn_dq_kernel(
     qid_ref, kid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, scale, mode
+    *, scale, mode, causal, bq
 ):
     """One (batch*head, q-block) cell: dq for the block from full k/v stripes.
 
@@ -186,6 +204,8 @@ def _attn_dq_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     allowed = qid_ref[0, 0, :][:, None] == kid_ref[0, 0, :][None, :]
+    if causal:
+        allowed = _causal_allowed(allowed, pl.program_id(1) * bq, bq, k.shape[0])
     if mode == "bias":
         logits = logits + allowed.astype(jnp.float32)
     else:
@@ -206,7 +226,7 @@ def _attn_dq_kernel(
 
 def _attn_dkv_kernel(
     qid_ref, kid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref, *, scale, mode
+    dk_ref, dv_ref, *, scale, mode, causal, bq
 ):
     """One (batch*head, k-block) cell: dk/dv for the block from full q stripes.
 
@@ -223,6 +243,13 @@ def _attn_dkv_kernel(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (bk, s)
     allowed_t = kid_ref[0, 0, :][:, None] == qid_ref[0, 0, :][None, :]
+    if causal:
+        # transposed orientation: rows are k positions, cols are q positions
+        s = q.shape[0]
+        bk = k.shape[0]
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (bk, s), 0) + pl.program_id(1) * bq
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (bk, s), 1)
+        allowed_t = allowed_t & (k_pos <= q_pos)
     if mode == "bias":
         logits_t = logits_t + allowed_t.astype(jnp.float32)
     else:
@@ -246,7 +273,9 @@ def _attn_dkv_kernel(
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_attention_bwd_impl(q, k, v, q_ids, kv_ids, o, lse, do, scale, mode, interpret):
+def _flash_attention_bwd_impl(
+    q, k, v, q_ids, kv_ids, o, lse, do, scale, mode, causal, interpret
+):
     b, h, s, d = q.shape
     bq = _q_block_size(s)
     n_q = s // bq
@@ -276,7 +305,7 @@ def _flash_attention_bwd_impl(q, k, v, q_ids, kv_ids, o, lse, do, scale, mode, i
         return pl.BlockSpec((1, 1, s), ids_full, memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
-        functools.partial(_attn_dq_kernel, scale=scale, mode=mode),
+        functools.partial(_attn_dq_kernel, scale=scale, mode=mode, causal=causal, bq=bq),
         grid=(b * h, n_q),
         in_specs=[
             ids_spec_blk(True),
@@ -294,7 +323,7 @@ def _flash_attention_bwd_impl(q, k, v, q_ids, kv_ids, o, lse, do, scale, mode, i
     )(q_ids3, kv_ids3, q, k, v, do, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_attn_dkv_kernel, scale=scale, mode=mode),
+        functools.partial(_attn_dkv_kernel, scale=scale, mode=mode, causal=causal, bq=bq),
         grid=(b * h, n_q),
         in_specs=[
             ids_spec_blk(False),
@@ -319,10 +348,19 @@ def _flash_attention_bwd_impl(q, k, v, q_ids, kv_ids, o, lse, do, scale, mode, i
     return dq, dk, dv
 
 
-def _reference_attention(q, k, v, q_ids, kv_ids, scale, mode):
+def _allowed_xla(q_ids, kv_ids, causal):
+    allowed = q_ids[:, None, :, None] == kv_ids[:, None, None, :]
+    if causal:
+        s = q_ids.shape[-1]
+        tri = jnp.arange(s)[:, None] >= jnp.arange(s)[None, :]
+        allowed = allowed & tri[None, None]
+    return allowed
+
+
+def _reference_attention(q, k, v, q_ids, kv_ids, scale, mode, causal=False):
     """XLA einsum attention over segment ids (used for backward + CPU path)."""
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-    allowed = q_ids[:, None, :, None] == kv_ids[:, None, None, :]
+    allowed = _allowed_xla(q_ids, kv_ids, causal)
     if mode == "bias":
         logits = logits + allowed.astype(jnp.float32)
     else:
@@ -334,31 +372,31 @@ def _reference_attention(q, k, v, q_ids, kv_ids, scale, mode):
     return jnp.einsum("bhqk,bhkd->bhqd", w, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _flash_attention(q, k, v, q_ids, kv_ids, scale, mode, interpret):
-    o, _ = _flash_attention_fwd_impl(q, k, v, q_ids, kv_ids, scale, mode, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_attention(q, k, v, q_ids, kv_ids, scale, mode, causal, interpret):
+    o, _ = _flash_attention_fwd_impl(q, k, v, q_ids, kv_ids, scale, mode, causal, interpret)
     return o
 
 
-def _fwd(q, k, v, q_ids, kv_ids, scale, mode, interpret):
-    o, lse = _flash_attention_fwd_impl(q, k, v, q_ids, kv_ids, scale, mode, interpret)
+def _fwd(q, k, v, q_ids, kv_ids, scale, mode, causal, interpret):
+    o, lse = _flash_attention_fwd_impl(q, k, v, q_ids, kv_ids, scale, mode, causal, interpret)
     return o, (q, k, v, q_ids, kv_ids, o, lse)
 
 
-def _bwd(scale, mode, interpret, res, do):
+def _bwd(scale, mode, causal, interpret, res, do):
     q, k, v, q_ids, kv_ids, o, lse = res
     dq, dk, dv = _flash_attention_bwd_impl(
-        q, k, v, q_ids, kv_ids, o, lse, do, scale, mode, interpret
+        q, k, v, q_ids, kv_ids, o, lse, do, scale, mode, causal, interpret
     )
     return dq, dk, dv, None, None
 
 
-def _xla_recompute_bwd(q, k, v, q_ids, kv_ids, o, lse, do, scale, mode):
+def _xla_recompute_bwd(q, k, v, q_ids, kv_ids, o, lse, do, scale, mode, causal=False):
     """The round-1 XLA backward (materializes (b,h,s,s) twice in HBM) — kept
     as the numerical reference for the pallas bwd kernels (tests) and for
     on-chip A/B measurement."""
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-    allowed = q_ids[:, None, :, None] == kv_ids[:, None, None, :]
+    allowed = _allowed_xla(q_ids, kv_ids, causal)
     if mode == "bias":
         logits = logits + allowed.astype(jnp.float32)
     else:
@@ -387,17 +425,21 @@ def packed_flash_attention(
     key_pad_mask: jnp.ndarray,
     scale: float,
     mode: str = "block",
+    causal: bool = False,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Attention over packed rows; (b, h, s, d) q/k/v, (b, s) ids and padding.
 
     Tokens attend only within their image block (mode='block') or get the
-    reference's +1 bias (mode='bias').  Padded keys never receive attention;
-    padded queries produce zeros.
+    reference's +1 bias (mode='bias').  causal=True additionally restricts
+    attention to k_pos <= q_pos within the row (decoder-only AR training over
+    token dumps, models/ar.py — the reference's declared downstream,
+    prepare_autoregressive_dataset.py:14-71).  Padded keys never receive
+    attention; padded queries produce zeros.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     ids = image_ids.astype(jnp.int32)
     kv_ids = jnp.where(key_pad_mask, -1, ids)
     q_ids = jnp.where(key_pad_mask, -2, ids)
-    return _flash_attention(q, k, v, q_ids, kv_ids, scale, mode, interpret)
+    return _flash_attention(q, k, v, q_ids, kv_ids, scale, mode, causal, interpret)

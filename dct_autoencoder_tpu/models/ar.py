@@ -49,6 +49,11 @@ class ARConfig:
             num_attention_heads=8,
         )
     )
+    # attention kernel for the teacher-forced training forward: 'auto' routes
+    # to the causal packed pallas kernel on TPU at long sequence lengths
+    # (the (b,h,s,s) logits XLA would otherwise materialize are exactly the
+    # HBM traffic the kernel eliminates); 'xla' | 'pallas' force a path
+    attention_impl: str = "auto"
 
 
 class ARTokenModel(nn.Module):
@@ -118,7 +123,10 @@ class ARTokenModel(nn.Module):
         )
         x = x + self._pos(channels, positions).astype(self.dtype)
         ctx = AttentionContext(
-            image_ids=ids, key_pad_mask=key_pad_mask, causal=True, impl="xla"
+            image_ids=ids,
+            key_pad_mask=key_pad_mask,
+            causal=True,
+            impl=self.config.attention_impl,
         )
         x = self.decoder(x, ctx, deterministic=not training)
         logits = self.head(self.out_norm(x))

@@ -43,12 +43,11 @@ class AttentionContext:
     mode: str = "block"  # 'block' | 'bias' (see config.attn_mask_mode)
     impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
     # additionally require k-position <= q-position (decoder-only LMs over
-    # token dumps, models/ar.py); runs on the XLA path
+    # token dumps, models/ar.py); supported by both the pallas kernel (the
+    # causal mask derives from grid positions) and the XLA path
     causal: bool = False
 
     def resolved_impl(self, seq_len: Optional[int] = None) -> str:
-        if self.causal:
-            return "xla"  # the packed pallas kernels don't carry positions
         if self.impl != "auto":
             return self.impl
         if jax.default_backend() != "tpu":
@@ -163,7 +162,8 @@ class MultiHeadAttention(nn.Module):
             out = jnp.einsum("bhqk,bhkd->bhqd", weights, cv.value)
         elif attn.resolved_impl(s) == "pallas":
             out = packed_flash_attention(
-                q, k, v, attn.image_ids, attn.key_pad_mask, scale, mode=attn.mode
+                q, k, v, attn.image_ids, attn.key_pad_mask, scale,
+                mode=attn.mode, causal=attn.causal,
             )
         else:
             logits = jnp.einsum(
