@@ -389,11 +389,17 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     cfg = DCTAutoencoderConfig.from_json_file(os.path.join(here, "conf", "patch14-l.json"))
     if mode == "int8":
-        # int8 serving path (models/quant.py); INT8_MODE=weight_only|dynamic
+        # int8 serving path (models/quant.py); INT8_MODE=weight_only|dynamic,
+        # INT8_BF16_LAYERS=comma list of layer idxs kept bf16 in both stacks
+        # (the token-agreement lever, docs/int8_study_r3.md)
         int8_mode = os.environ.get("INT8_MODE", "weight_only")
+        bf16_layers = tuple(
+            int(i) for i in os.environ.get("INT8_BF16_LAYERS", "").split(",") if i
+        )
         for tc in (cfg.encoder_config, cfg.decoder_config):
             tc.quantize_int8 = True
             tc.quantize_int8_mode = int8_mode
+            tc.quantize_int8_bf16_layers = bf16_layers
     if os.environ.get("BENCH_ATTN"):
         cfg.attention_impl = os.environ["BENCH_ATTN"]
     module = DCTAutoencoderModule(cfg, dtype=jnp.bfloat16)

@@ -37,6 +37,15 @@ by sums of squares so XLA cannot DCE or reassociate anything):
 with grad rel-diffs <= 8e-3 (bf16 rounding).  f32 dq/dk/dv match the XLA
 recompute backward bit-for-bit on-chip.
 
+causal=True (AR training over token dumps, models/ar.py) ANDs a k_pos <=
+q_pos constraint into the segment mask; positions derive from the grid
+indices, so the kernels gain no operands.  Same-session A/B, same shapes:
+  s=1024: pallas 2.75 ms vs XLA causal 8.57 ms (3.12x)
+  s=3072: pallas 4.35 ms vs XLA 18.18 ms (4.17x)
+(grad rel-diffs <= 2e-2 in bf16).  The full k stripe is still loaded per
+q-block — skipping above-diagonal k blocks needs an online-softmax second
+pass for ~2x more; at these lengths the HBM win over XLA already dominates.
+
 `mode='bias'` replicates the reference's effective +1-logit-bias semantics
 (see models/transformer.py docstring) instead of true masking.
 """

@@ -35,6 +35,14 @@ class TransformerConfig:
     # (both-operand int8 on the int8 MXU; see models/quant.py for measured
     # tradeoffs at patch14-L sizes)
     quantize_int8_mode: str = "weight_only"
+    # layer indices kept as plain bf16 nn.Dense even when quantize_int8 —
+    # the int8 sensitivity lever (docs/int8_study_r3.md): token flips under
+    # 'dynamic' concentrate in the final pre-quantizer encoder blocks
+    quantize_int8_bf16_layers: tuple = ()
+
+    def __post_init__(self):
+        # keep hashable for flax-module attribute equality / jit staticness
+        self.quantize_int8_bf16_layers = tuple(self.quantize_int8_bf16_layers)
 
     @classmethod
     def from_dict(cls, d: dict) -> "TransformerConfig":

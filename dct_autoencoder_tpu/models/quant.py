@@ -124,13 +124,21 @@ def quantize_dense_params(params: Any) -> Any:
     return _quantize_stack(params)
 
 
-def quantize_transformer_params(params: Any) -> Any:
+def quantize_transformer_params(
+    params: Any, encoder_bf16_layers=(), decoder_bf16_layers=()
+) -> Any:
     """Quantize ONLY the encoder/decoder transformer stacks of a
-    DCTAutoencoder param tree (patch embed / LFQ / proj_out stay bf16)."""
+    DCTAutoencoder param tree (patch embed / LFQ / proj_out stay bf16).
+    Layers listed in *_bf16_layers keep their fp Dense params (must match
+    config.quantize_int8_bf16_layers)."""
     out = dict(params)
-    for stack in ("encoder", "decoder"):
+    for stack, bf16 in (("encoder", encoder_bf16_layers), ("decoder", decoder_bf16_layers)):
         if stack in out:
-            out[stack] = _quantize_stack(out[stack])
+            skip = frozenset(f"layers_{i}" for i in bf16)
+            out[stack] = {
+                k: (v if k in skip else _quantize_stack(v))
+                for k, v in out[stack].items()
+            }
     return out
 
 
@@ -146,12 +154,20 @@ def _quantize_stack(node: Any) -> Any:
     return node
 
 
-def quantize_model_for_serving(model) -> "Any":
+def quantize_model_for_serving(
+    model,
+    mode: str = None,
+    encoder_bf16_layers=(),
+    decoder_bf16_layers=(),
+) -> "Any":
     """Trained DCTAutoencoder -> int8-serving DCTAutoencoder.
 
     Builds a sibling model whose transformer stacks use Int8Dense
     (config.encoder_config.quantize_int8=True) and rewrites the trained
     params into quantized form.  Same API surface (forward/encode/decode).
+    mode overrides quantize_int8_mode ('weight_only'/'dynamic');
+    *_bf16_layers keep those layer indices fp (docs/int8_study_r3.md: token
+    flips under 'dynamic' concentrate in the last pre-LFQ encoder blocks).
     """
     import copy
 
@@ -160,8 +176,15 @@ def quantize_model_for_serving(model) -> "Any":
     cfg = copy.deepcopy(model.config)
     cfg.encoder_config.quantize_int8 = True
     cfg.decoder_config.quantize_int8 = True
+    cfg.encoder_config.quantize_int8_bf16_layers = tuple(encoder_bf16_layers)
+    cfg.decoder_config.quantize_int8_bf16_layers = tuple(decoder_bf16_layers)
+    if mode is not None:
+        cfg.encoder_config.quantize_int8_mode = mode
+        cfg.decoder_config.quantize_int8_mode = mode
     qmodel = DCTAutoencoder(cfg, dtype=model.dtype)
-    qparams = quantize_transformer_params(model.params)
+    qparams = quantize_transformer_params(
+        model.params, encoder_bf16_layers, decoder_bf16_layers
+    )
     assert jax.tree_util.tree_structure(qparams) == jax.tree_util.tree_structure(
         qmodel.params
     ), "quantized param tree does not match the Int8Dense module structure"

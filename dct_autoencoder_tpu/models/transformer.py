@@ -228,9 +228,15 @@ class TransformerEncoder(nn.Module):
             # static_argnums: deterministic is static; AttentionContext's meta
             # fields are static; the pytree itself is a valid traced arg
             layer_cls = nn.remat(EncoderLayer, static_argnums=(2,))
+        bf16_layers = getattr(self.config, "quantize_int8_bf16_layers", ())
         for i in range(self.config.num_hidden_layers):
+            cfg_i = self.config
+            if getattr(cfg_i, "quantize_int8", False) and i in bf16_layers:
+                # per-layer bf16 fallback inside an int8 stack (the int8
+                # sensitivity lever — see models/quant.py)
+                cfg_i = dataclasses.replace(cfg_i, quantize_int8=False)
             x = layer_cls(
-                self.config, dtype=self.dtype, cache_size=self.cache_size,
+                cfg_i, dtype=self.dtype, cache_size=self.cache_size,
                 name=f"layers_{i}",
             )(x, attn, deterministic)
         return x

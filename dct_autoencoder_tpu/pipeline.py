@@ -30,6 +30,8 @@ class DCTPipeline:
         model: DCTAutoencoder,
         processor: DCTAutoencoderFeatureExtractor,
         data_parallel: bool = False,
+        pad_rows_to: int = 0,
+        pad_tokens_to: int = 0,
     ):
         """data_parallel=True shards encode batches row-wise over every
         visible device (BASELINE configs 4-5 serving layout): packed rows
@@ -37,9 +39,20 @@ class DCTPipeline:
         (data,) mesh sharding — XLA splits the batch, no collectives needed
         in eval. Token records are identical to single-device encode
         (tests/test_parallel.py::test_sharded_encode_matches_single_device).
+
+        pad_rows_to / pad_tokens_to bucket device shapes for SERVING: encode
+        pads packed rows to a multiple (fully-masked rows), decode pads each
+        record's token count to a multiple (masked tokens).  Without them,
+        every distinct packed-row count / per-image token count compiles a
+        fresh program — fatal for a daemon on remote-compile links where one
+        compile costs minutes.  Padding is mask-transparent: records and
+        reconstructions are bit-identical to the unpadded path
+        (tests/test_serve.py::test_pipeline_shape_bucketing).
         """
         self.model = model
         self.processor = processor
+        self.pad_rows_to = pad_rows_to
+        self.pad_tokens_to = pad_tokens_to
         self._mesh = None
         self._dp_forward = None
         if data_parallel:
@@ -127,6 +140,14 @@ class DCTPipeline:
         for batch in self.processor.iter_batches(
             iter([cols]), batch_size=batch_size, drain=batch_size is not None
         ):
+            if self.pad_rows_to:
+                from .parallel.mesh import pad_batch_rows
+
+                # drop the (b,1,s,s) mask before padding: the model derives
+                # masking from ids, and row-padding it is a multi-MB host copy
+                batch = pad_batch_rows(
+                    batch.replace(attn_mask=None), self.pad_rows_to
+                )
             nb = self.model.normalize_(batch)
             out = self._forward(nb)
             records.extend(to_dict(out["dct_patches"], out["codes"]))
@@ -134,10 +155,32 @@ class DCTPipeline:
 
     def decode(self, records: Sequence[dict]) -> List[np.ndarray]:
         """Token records -> RGB images at their original sizes."""
+        import jax.numpy as jnp
+
         images: List[np.ndarray] = []
         for rec in records:
             dp, codes = from_dict(rec)
+            # bucket the token count so a serving daemon does not compile a
+            # fresh decode program per distinct record length (masked pad
+            # tokens land in revert_patching's trash slot)
             n = codes.shape[0]
+            padn = (-n) % self.pad_tokens_to if self.pad_tokens_to else 0
+            if padn:
+                codes = np.concatenate(
+                    [codes, np.zeros((padn, codes.shape[1]), codes.dtype)]
+                )
+                pad1 = lambda x, fill: jnp.pad(
+                    x, ((0, 0), (0, padn)), constant_values=fill
+                )
+                dp = dp.replace(
+                    key_pad_mask=pad1(dp.key_pad_mask, True),
+                    attn_mask=None,
+                    batched_image_ids=pad1(dp.batched_image_ids, 0),
+                    patch_channels=pad1(dp.patch_channels, 0),
+                    patch_positions=jnp.pad(
+                        dp.patch_positions, ((0, 0), (0, padn), (0, 0))
+                    ),
+                )
             decoded = self.model.decode_from_codes(
                 codes[None],
                 key_pad_mask=dp.key_pad_mask,

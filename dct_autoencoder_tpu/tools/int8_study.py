@@ -1,0 +1,112 @@
+"""int8 dynamic-mode token-agreement study (per-layer sensitivity).
+
+The dynamic int8 path (models/quant.py) is measured FASTER than bf16 at the
+headline shapes but flips ~2% of LFQ tokens vs the fp model.  This tool
+localizes WHERE the flips originate so the speed can be bought back without
+breaking the tokenizer contract:
+
+  * weight_only vs fp        — the serving default's own weight-quant error
+  * dynamic (all layers)     — weight + per-token activation quant
+  * dynamic, last N encoder blocks bf16 — the pre-LFQ-sensitivity hypothesis
+  * one-layer-at-a-time      — exactly one encoder layer int8-dynamic (all
+    others exact fp): flips attributable to that layer alone
+
+Tokens depend only on the ENCODER (codes come out of encode); decoder
+quantization cannot flip them, so variants alter the encoder stack only.
+Run on the TPU against the flagship patch14-L config; results recorded in
+docs/int8_study_r3.md.
+
+Usage:
+  python -m dct_autoencoder_tpu.tools.int8_study [--rows 16] [--per_layer]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None, help="model config json (default conf/patch14-l.json)")
+    p.add_argument("--rows", type=int, default=16)
+    p.add_argument("--seq", type=int, default=256)
+    p.add_argument("--per_layer", action="store_true", help="one-layer-at-a-time sweep")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.autoencoder import DCTAutoencoder
+    from ..models.config import DCTAutoencoderConfig
+    from ..models.patchnorm import calibrate_patchnorm_batch
+    from ..models.quant import quantize_model_for_serving
+    from ..patches.container import DCTPatches
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    cfg_path = args.config or os.path.join(here, "conf", "patch14-l.json")
+    cfg = DCTAutoencoderConfig.from_json_file(cfg_path)
+    model = DCTAutoencoder(cfg, dtype=jnp.bfloat16, seed=args.seed)
+
+    rng = np.random.default_rng(args.seed)
+    b, s = args.rows, args.seq
+    n_img = 4
+    ids = np.sort(rng.integers(0, n_img, size=(b, s))).astype(np.int32)
+    lengths = rng.integers(s // 2, s, size=(b,))
+    pad = np.arange(s)[None, :] >= lengths[:, None]
+    batch = DCTPatches(
+        patches=jnp.asarray(rng.standard_normal((b, s, cfg.patch_dim)).astype(np.float32)),
+        key_pad_mask=jnp.asarray(pad),
+        attn_mask=None,
+        batched_image_ids=jnp.asarray(ids),
+        patch_channels=jnp.asarray(rng.integers(0, cfg.image_channels, (b, s)).astype(np.int32)),
+        patch_positions=jnp.asarray(
+            rng.integers(0, min(cfg.max_patch_h, cfg.max_patch_w), (b, s, 2)).astype(np.int32)
+        ),
+    )
+    model.patchnorm, _ = calibrate_patchnorm_batch(model.patchnorm, batch)
+    nb = model.normalize_(batch)
+    valid = ~np.asarray(nb.key_pad_mask)
+
+    def codes_of(m):
+        _, codes, _, _, _ = m.encode(nb, training=False)
+        return np.asarray(codes)[valid]  # (tokens, num_codebooks)
+
+    codes_fp = codes_of(model)
+    n_codes = codes_fp.size
+    print(f"# {codes_fp.shape[0]} tokens x {codes_fp.shape[1]} codebooks = {n_codes} codes")
+
+    def report(name, m):
+        agree = float((codes_of(m) == codes_fp).mean())
+        print(json.dumps({"variant": name, "token_agreement": round(agree, 5),
+                          "flipped_per_10k": round((1 - agree) * 1e4, 1)}), flush=True)
+        return agree
+
+    L = cfg.encoder_config.num_hidden_layers
+    report("weight_only", quantize_model_for_serving(model, mode="weight_only"))
+    report("dynamic", quantize_model_for_serving(model, mode="dynamic"))
+    report(
+        f"dynamic_last1_bf16",
+        quantize_model_for_serving(model, mode="dynamic", encoder_bf16_layers=(L - 1,)),
+    )
+    report(
+        f"dynamic_last2_bf16",
+        quantize_model_for_serving(
+            model, mode="dynamic", encoder_bf16_layers=(L - 2, L - 1)
+        ),
+    )
+
+    if args.per_layer:
+        for i in range(L):
+            others = tuple(j for j in range(L) if j != i)
+            report(
+                f"only_layer_{i}_dynamic",
+                quantize_model_for_serving(model, mode="dynamic", encoder_bf16_layers=others),
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -4,11 +4,22 @@ Usage:
   python -m dct_autoencoder_tpu.tools.serve --model_path out/<run>/model \
       --port 8080 [--max_batch 16] [--batch_timeout_ms 5] [--data_parallel]
 
-Endpoints (JSON over HTTP):
+Endpoints:
   POST /encode  {"image": [[...]], ...}      -> token record (to_dict schema)
   POST /decode  {record}                     -> {"image": [[...]]}
   POST /reconstruct {"image": ...}           -> {"image": ...}
   GET  /healthz                              -> {"ok": true, ...}
+
+Binary codec (production path): send `Content-Type: application/octet-stream`
+with an .npy body instead of JSON —
+  POST /encode       npy (c,h,w) float32 in [0,1] or uint8  -> record (JSON)
+  POST /reconstruct  npy image                              -> npy uint8 (c,h,w)
+  POST /decode       JSON record + `Accept: application/octet-stream`
+                                                            -> npy uint8 (c,h,w)
+A 448px RGB image is ~600 KB as npy uint8 vs ~12 MB as JSON floats; the JSON
+codec alone costs seconds of CPU per request on a small host (measured: see
+docs/serving_r3.md), so binary is the default for real clients and JSON the
+interoperability/demo surface.
 
 Requests are queued and served in dynamic micro-batches: the batcher thread
 collects up to max_batch requests (waiting at most batch_timeout_ms for
@@ -128,17 +139,37 @@ class BatchingServer:
         elif kind == "decode":
             images = self.pipeline.decode([r.payload for r in reqs])
             for r, im in zip(reqs, images):
-                r.result = im.tolist()
+                r.result = im  # np array; the HTTP layer picks the codec
         elif kind == "reconstruct":
             images = [np.asarray(r.payload, dtype=np.float32) for r in reqs]
             outs = self.pipeline.reconstruct(images)
             for r, im in zip(reqs, outs):
-                r.result = im.tolist()
+                r.result = im
         else:
             raise ValueError(f"unknown kind {kind}")
         self.n_served += len(reqs)
         for r in reqs:
             r.event.set()
+
+
+def _decode_npy_image(raw: bytes) -> np.ndarray:
+    """npy bytes -> (c, h, w) float32 in [0,1]; uint8 payloads scale by 255."""
+    import io
+
+    arr = np.load(io.BytesIO(raw), allow_pickle=False)
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    assert arr.ndim == 3, f"expected (c, h, w), got shape {arr.shape}"
+    return np.ascontiguousarray(arr, dtype=np.float32)
+
+
+def _encode_npy_image(im: np.ndarray) -> bytes:
+    """(c, h, w) float image in [0,1] -> npy uint8 bytes."""
+    import io
+
+    buf = io.BytesIO()
+    np.save(buf, (np.clip(im, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8))
+    return buf.getvalue()
 
 
 def make_handler(server: BatchingServer):
@@ -150,6 +181,14 @@ def make_handler(server: BatchingServer):
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _npy(self, code: int, arr: np.ndarray):
+            body = _encode_npy_image(arr)
+            self.send_response(code)
+            self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -174,12 +213,21 @@ def make_handler(server: BatchingServer):
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
-                payload = json.loads(self.rfile.read(n))
-                if kind in ("encode", "reconstruct"):
-                    payload = payload["image"]
+                raw = self.rfile.read(n)
+                binary_in = "octet-stream" in self.headers.get("Content-Type", "")
+                binary_out = binary_in or "octet-stream" in self.headers.get("Accept", "")
+                if binary_in and kind in ("encode", "reconstruct"):
+                    payload = _decode_npy_image(raw)
+                else:
+                    payload = json.loads(raw)
+                    if kind in ("encode", "reconstruct"):
+                        payload = payload["image"]
                 result = server.submit(kind, payload)
                 if kind in ("decode", "reconstruct"):
-                    result = {"image": result}
+                    if binary_out:
+                        self._npy(200, np.asarray(result))
+                        return
+                    result = {"image": np.asarray(result).tolist()}
                 self._json(200, result)
             except Exception as e:
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
@@ -187,9 +235,14 @@ def make_handler(server: BatchingServer):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # default listen backlog (5) resets connections under bursty clients
+    request_queue_size = 128
+
+
 def serve(pipeline, port: int = 8080, max_batch: int = 16, batch_timeout_ms: float = 5.0):
     batcher = BatchingServer(pipeline, max_batch, batch_timeout_ms)
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(batcher))
+    httpd = _Server(("0.0.0.0", port), make_handler(batcher))
     httpd.batcher = batcher  # for tests / introspection
     return httpd
 
@@ -202,6 +255,10 @@ def main():
     p.add_argument("--batch_timeout_ms", type=float, default=5.0)
     p.add_argument("--sample_patches_beta", type=float, default=0.02)
     p.add_argument("--data_parallel", action="store_true")
+    # shape buckets: without them every distinct packed-row count / record
+    # token count compiles a fresh device program (minutes on remote links)
+    p.add_argument("--pad_rows_to", type=int, default=8)
+    p.add_argument("--pad_tokens_to", type=int, default=128)
     args = p.parse_args()
 
     from ..pipeline import DCTPipeline
@@ -209,8 +266,14 @@ def main():
     pipe = DCTPipeline.from_pretrained(
         args.model_path, sample_patches_beta=args.sample_patches_beta
     )
-    if args.data_parallel:
-        pipe = DCTPipeline(pipe.model, pipe.processor, data_parallel=True)
+    pipe.processor.build_attn_mask = False  # the model masks from image ids
+    pipe = DCTPipeline(
+        pipe.model,
+        pipe.processor,
+        data_parallel=args.data_parallel,
+        pad_rows_to=args.pad_rows_to,
+        pad_tokens_to=args.pad_tokens_to,
+    )
     httpd = serve(pipe, args.port, args.max_batch, args.batch_timeout_ms)
     print(f"serving on :{args.port} (max_batch={args.max_batch})")
     httpd.serve_forever()

@@ -71,6 +71,37 @@ def test_quantized_model_serving_close_to_fp():
     assert rel < 0.05, rel
 
 
+def test_quantize_with_bf16_layers():
+    """Per-layer bf16 fallback (the int8 sensitivity lever): layers listed in
+    *_bf16_layers keep fp Dense params/behavior inside an otherwise-int8
+    stack, and agreement with the fp model can only improve."""
+    cfg = tiny_config("lfq")
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(5)
+    batch = make_batch(proc, rng, n_images=4)
+    model.patchnorm, _ = calibrate_patchnorm_batch(model.patchnorm, batch)
+    nb = model.normalize_(batch)
+    out_fp = model.forward(nb, training=False)
+    valid = ~np.asarray(nb.key_pad_mask)
+    codes_fp = np.asarray(out_fp["codes"])[valid]
+
+    last = cfg.encoder_config.num_hidden_layers - 1
+    qall = quantize_model_for_serving(model, mode="dynamic")
+    qskip = quantize_model_for_serving(
+        model, mode="dynamic", encoder_bf16_layers=(last,), decoder_bf16_layers=(last,)
+    )
+    # fp layers keep plain Dense params
+    lp = qskip.params["encoder"][f"layers_{last}"]["self_attn"]["q_proj"]
+    assert "kernel" in lp and "kernel_q" not in lp
+    lq = qskip.params["encoder"]["layers_0"]["self_attn"]["q_proj"]
+    assert "kernel_q" in lq
+
+    agree_all = (np.asarray(qall.forward(nb, training=False)["codes"])[valid] == codes_fp).mean()
+    agree_skip = (np.asarray(qskip.forward(nb, training=False)["codes"])[valid] == codes_fp).mean()
+    assert agree_skip >= agree_all - 1e-6, (agree_skip, agree_all)
+    assert agree_skip > 0.9
+
+
 def test_int8_model_save_load_roundtrip(tmp_path):
     """quantize -> save_pretrained -> from_pretrained rebuilds Int8Dense and
     reproduces the quantized model's tokens exactly."""
