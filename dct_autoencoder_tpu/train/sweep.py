@@ -1,10 +1,18 @@
 """Hyperparameter sweep runner (reference: wandb_main.py + sweep.yaml).
 
-The reference drives a wandb bayes sweep over learning rate and the four loss
-weights, minimizing train rec_loss.  This is a self-contained random-search
-counterpart: log-uniform/uniform sampling over the same space, short training
-runs, JSONL results, best-trial report.  Plug a different `space` dict or
-`--trials` to taste.
+The reference drives a wandb BAYES sweep over learning rate and the four
+loss weights, minimizing train rec_loss.  This is a self-contained
+counterpart with two methods over the same space:
+
+  * 'tpe' (default, the bayes-matching method): a dependency-free
+    Tree-structured Parzen Estimator — after a few random startup trials,
+    observed trials split into good/bad quantiles, per-dimension Parzen
+    (Gaussian-kernel) densities l(x)/g(x) are fit over each set, and the
+    candidate maximizing the density ratio is suggested (Bergstra et al.
+    2011, the algorithm behind hyperopt/wandb-bayes-style tuners);
+  * 'random': log-uniform/uniform sampling (the round-1 behavior).
+
+Short training runs, JSONL results, best-trial report.
 
 Usage:
   python -m dct_autoencoder_tpu.train.sweep \
@@ -17,7 +25,7 @@ import json
 import math
 import os
 import random
-from typing import Dict
+from typing import Dict, List, Tuple
 
 # reference sweep.yaml: lr log-uniform [1e-5, 4e-4]; weights uniform-ish
 DEFAULT_SPACE = {
@@ -39,6 +47,88 @@ def sample(space: Dict, rng: random.Random) -> Dict[str, float]:
     return out
 
 
+class TPESuggester:
+    """Minimal per-dimension TPE (minimization).
+
+    Each dimension is mapped to the unit interval (log-transformed for
+    log_uniform), observations are split at the `gamma` score quantile into
+    good (l) and bad (g) sets, both modeled as Parzen mixtures of Gaussians
+    with a 1/sqrt(n) bandwidth, and `n_candidates` draws from l are ranked
+    by the l/g density ratio.  Dimensions are treated independently (the
+    hyperopt default).  Pure stdlib — no scipy/sklearn.
+    """
+
+    def __init__(
+        self,
+        space: Dict,
+        rng: random.Random,
+        n_startup: int = 4,
+        gamma: float = 0.25,
+        n_candidates: int = 24,
+    ):
+        self.space = space
+        self.rng = rng
+        self.n_startup = n_startup
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self.trials: List[Tuple[Dict[str, float], float]] = []
+
+    # ------------------------------------------------------------- transforms
+    def _to_unit(self, key: str, x: float) -> float:
+        kind, lo, hi = self.space[key]
+        if kind == "log_uniform":
+            return (math.log(x) - math.log(lo)) / (math.log(hi) - math.log(lo))
+        return (x - lo) / (hi - lo)
+
+    def _from_unit(self, key: str, u: float) -> float:
+        kind, lo, hi = self.space[key]
+        u = min(max(u, 0.0), 1.0)
+        if kind == "log_uniform":
+            x = math.exp(math.log(lo) + u * (math.log(hi) - math.log(lo)))
+        else:
+            x = lo + u * (hi - lo)
+        return min(max(x, lo), hi)  # exp/log roundtrip can overshoot by 1 ulp
+
+    # ---------------------------------------------------------------- parzen
+    @staticmethod
+    def _log_density(u: float, centers: List[float], sigma: float) -> float:
+        # mixture of Gaussians (+ a uniform floor so the ratio stays finite)
+        if not centers:
+            return 0.0
+        acc = 1e-12
+        for c in centers:
+            z = (u - c) / sigma
+            acc += math.exp(-0.5 * z * z) / (sigma * math.sqrt(2 * math.pi))
+        return math.log(acc / len(centers) + 1e-3)
+
+    def observe(self, params: Dict[str, float], score: float) -> None:
+        self.trials.append((params, score))
+
+    def suggest(self) -> Dict[str, float]:
+        if len(self.trials) < self.n_startup:
+            return sample(self.space, self.rng)
+        ordered = sorted(self.trials, key=lambda t: t[1])
+        n_good = max(1, int(math.ceil(self.gamma * len(ordered))))
+        good, bad = ordered[:n_good], ordered[n_good:]
+
+        out: Dict[str, float] = {}
+        for key in self.space:
+            gl = [self._to_unit(key, p[key]) for p, _ in good]
+            bl = [self._to_unit(key, p[key]) for p, _ in bad] or gl
+            sg = max(1.0 / math.sqrt(len(gl) + 1), 0.08)
+            sb = max(1.0 / math.sqrt(len(bl) + 1), 0.08)
+            best_u, best_ratio = None, -math.inf
+            for _ in range(self.n_candidates):
+                # draw from l: pick a good center, jitter by its bandwidth
+                c = self.rng.choice(gl)
+                u = min(max(self.rng.gauss(c, sg), 0.0), 1.0)
+                ratio = self._log_density(u, gl, sg) - self._log_density(u, bl, sb)
+                if ratio > best_ratio:
+                    best_u, best_ratio = u, ratio
+            out[key] = self._from_unit(key, best_u)
+        return out
+
+
 def main(
     image_dataset_path_or_url: str = None,
     preprocessed_dataset_path_or_url: str = None,
@@ -47,14 +137,16 @@ def main(
     max_iters: int = 200,
     batch_size: int = 8,
     seed: int = 0,
+    method: str = "tpe",
     out_file: str = "sweep_results.jsonl",
 ):
     from .cli import main as train_main
 
     rng = random.Random(seed)
+    suggester = TPESuggester(DEFAULT_SPACE, rng) if method == "tpe" else None
     best = None
     for t in range(trials):
-        params = sample(DEFAULT_SPACE, rng)
+        params = suggester.suggest() if suggester else sample(DEFAULT_SPACE, rng)
         print(f"--- trial {t}: {params}")
         final_metrics = {}
 
@@ -98,6 +190,8 @@ def main(
         with open(out_file, "a") as f:
             f.write(json.dumps(record) + "\n")
         score = record.get("rec_loss", float("inf"))
+        if suggester:
+            suggester.observe(params, score)
         if best is None or score < best.get("rec_loss", float("inf")):
             best = record
         print(f"--- trial {t} rec_loss={score}")
@@ -115,5 +209,6 @@ if __name__ == "__main__":
     p.add_argument("--max_iters", type=int, default=200)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--method", default="tpe", choices=("tpe", "random"))
     p.add_argument("--out_file", default="sweep_results.jsonl")
     main(**vars(p.parse_args()))

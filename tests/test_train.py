@@ -157,6 +157,52 @@ def test_train_patch_norm_phase():
     assert proc.max_seq_len == 8 * 8 * 3
 
 
+def test_tpe_sweep_beats_random_on_synthetic():
+    """The TPE suggester (reference sweep.yaml 'bayes' counterpart) must
+    stay in bounds and find better optima than random search on a smooth
+    synthetic objective over the real sweep space."""
+    import math
+    import random as pyrandom
+
+    from dct_autoencoder_tpu.train.sweep import DEFAULT_SPACE, TPESuggester, sample
+
+    target = {
+        "learning_rate": 1.2e-4,
+        "rec_loss": 0.3,
+        "rec_loss_unnormalized": 1.0,
+        "commit_loss": 0.1,
+        "entropy_loss": 0.1,
+    }
+
+    def unit(key, x):
+        kind, lo, hi = DEFAULT_SPACE[key]
+        if kind == "log_uniform":
+            return (math.log(x) - math.log(lo)) / (math.log(hi) - math.log(lo))
+        return (x - lo) / (hi - lo)
+
+    def score(p):
+        return sum((unit(k, p[k]) - unit(k, target[k])) ** 2 for k in DEFAULT_SPACE)
+
+    n_trials = 40
+    tpe_best, rnd_best = [], []
+    for seed in (0, 1, 2):
+        sugg = TPESuggester(DEFAULT_SPACE, pyrandom.Random(seed))
+        best = math.inf
+        for _ in range(n_trials):
+            p = sugg.suggest()
+            for k, (kind, lo, hi) in DEFAULT_SPACE.items():
+                assert lo <= p[k] <= hi, (k, p[k])
+            s = score(p)
+            sugg.observe(p, s)
+            best = min(best, s)
+        tpe_best.append(best)
+
+        rng = pyrandom.Random(seed)
+        rnd_best.append(min(score(sample(DEFAULT_SPACE, rng)) for _ in range(n_trials)))
+
+    assert np.mean(tpe_best) < np.mean(rnd_best), (tpe_best, rnd_best)
+
+
 def test_train_loop_logs_image_grids(tmp_path):
     from dct_autoencoder_tpu.train.loop import train
 
