@@ -18,6 +18,9 @@ docs/int8_study_r3.md.
 
 Usage:
   python -m dct_autoencoder_tpu.tools.int8_study [--rows 16] [--per_layer]
+  python -m dct_autoencoder_tpu.tools.int8_study \
+      --model_path docs/calibrated_run_r3/model --per_layer   # trained weights
+                                                              # + real images
 """
 from __future__ import annotations
 
@@ -31,6 +34,14 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default=None, help="model config json (default conf/patch14-l.json)")
+    p.add_argument(
+        "--model_path",
+        default=None,
+        help="trained checkpoint dir; uses its weights + real fixture images "
+        "instead of random init + synthetic patches",
+    )
+    p.add_argument("--image_dir", default="/root/reference/images")
+    p.add_argument("--resize", type=int, default=448)
     p.add_argument("--rows", type=int, default=16)
     p.add_argument("--seq", type=int, default=256)
     p.add_argument("--per_layer", action="store_true", help="one-layer-at-a-time sweep")
@@ -46,28 +57,61 @@ def main():
     from ..models.quant import quantize_model_for_serving
     from ..patches.container import DCTPatches
 
-    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    cfg_path = args.config or os.path.join(here, "conf", "patch14-l.json")
-    cfg = DCTAutoencoderConfig.from_json_file(cfg_path)
-    model = DCTAutoencoder(cfg, dtype=jnp.bfloat16, seed=args.seed)
-
     rng = np.random.default_rng(args.seed)
-    b, s = args.rows, args.seq
-    n_img = 4
-    ids = np.sort(rng.integers(0, n_img, size=(b, s))).astype(np.int32)
-    lengths = rng.integers(s // 2, s, size=(b,))
-    pad = np.arange(s)[None, :] >= lengths[:, None]
-    batch = DCTPatches(
-        patches=jnp.asarray(rng.standard_normal((b, s, cfg.patch_dim)).astype(np.float32)),
-        key_pad_mask=jnp.asarray(pad),
-        attn_mask=None,
-        batched_image_ids=jnp.asarray(ids),
-        patch_channels=jnp.asarray(rng.integers(0, cfg.image_channels, (b, s)).astype(np.int32)),
-        patch_positions=jnp.asarray(
-            rng.integers(0, min(cfg.max_patch_h, cfg.max_patch_w), (b, s, 2)).astype(np.int32)
-        ),
-    )
-    model.patchnorm, _ = calibrate_patchnorm_batch(model.patchnorm, batch)
+    if args.model_path:
+        import glob
+
+        from PIL import Image
+
+        from ..models.factory import get_model_and_processor
+
+        model, proc = get_model_and_processor(
+            None, dtype=jnp.bfloat16, sample_patches_beta=0.0,
+            resume_path=args.model_path,
+        )
+        cfg = model.config
+        ims = []
+        for path in sorted(glob.glob(os.path.join(args.image_dir, "*.jpg"))):
+            im = Image.open(path).convert("RGB").resize(
+                (args.resize, args.resize), Image.BICUBIC
+            )
+            ims.append(np.asarray(im).astype(np.float32).transpose(2, 0, 1) / 255.0)
+        ds = proc.preprocess_many(ims)
+        cols = {k: [d[k] for d in ds] for k in ds[0]}
+        batch = next(proc.iter_batches(iter([cols]), batch_size=None))
+        batch = batch.replace(
+            attn_mask=None, patch_sizes=(), original_sizes=(), _data=None
+        )
+    else:
+        here = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        cfg_path = args.config or os.path.join(here, "conf", "patch14-l.json")
+        cfg = DCTAutoencoderConfig.from_json_file(cfg_path)
+        model = DCTAutoencoder(cfg, dtype=jnp.bfloat16, seed=args.seed)
+
+        b, s = args.rows, args.seq
+        n_img = 4
+        ids = np.sort(rng.integers(0, n_img, size=(b, s))).astype(np.int32)
+        lengths = rng.integers(s // 2, s, size=(b,))
+        pad = np.arange(s)[None, :] >= lengths[:, None]
+        batch = DCTPatches(
+            patches=jnp.asarray(
+                rng.standard_normal((b, s, cfg.patch_dim)).astype(np.float32)
+            ),
+            key_pad_mask=jnp.asarray(pad),
+            attn_mask=None,
+            batched_image_ids=jnp.asarray(ids),
+            patch_channels=jnp.asarray(
+                rng.integers(0, cfg.image_channels, (b, s)).astype(np.int32)
+            ),
+            patch_positions=jnp.asarray(
+                rng.integers(
+                    0, min(cfg.max_patch_h, cfg.max_patch_w), (b, s, 2)
+                ).astype(np.int32)
+            ),
+        )
+        model.patchnorm, _ = calibrate_patchnorm_batch(model.patchnorm, batch)
     nb = model.normalize_(batch)
     valid = ~np.asarray(nb.key_pad_mask)
 

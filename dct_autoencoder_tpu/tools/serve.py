@@ -142,7 +142,10 @@ class BatchingServer:
                 r.result = im  # np array; the HTTP layer picks the codec
         elif kind == "reconstruct":
             images = [np.asarray(r.payload, dtype=np.float32) for r in reqs]
-            outs = self.pipeline.reconstruct(images)
+            # the fused 3-dispatch path (no token-record roundtrip); falls
+            # back to encode->decode for pipelines without it (tests stubs)
+            fn = getattr(self.pipeline, "reconstruct_direct", self.pipeline.reconstruct)
+            outs = fn(images)
             for r, im in zip(reqs, outs):
                 r.result = im
         else:
