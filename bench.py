@@ -396,10 +396,12 @@ def main():
         bf16_layers = tuple(
             int(i) for i in os.environ.get("INT8_BF16_LAYERS", "").split(",") if i
         )
+        group_size = int(os.environ.get("INT8_GROUP_SIZE", "0"))
         for tc in (cfg.encoder_config, cfg.decoder_config):
             tc.quantize_int8 = True
             tc.quantize_int8_mode = int8_mode
             tc.quantize_int8_bf16_layers = bf16_layers
+            tc.quantize_int8_group_size = group_size
     if os.environ.get("BENCH_ATTN"):
         cfg.attention_impl = os.environ["BENCH_ATTN"]
     module = DCTAutoencoderModule(cfg, dtype=jnp.bfloat16)

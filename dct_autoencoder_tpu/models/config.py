@@ -36,9 +36,14 @@ class TransformerConfig:
     # tradeoffs at patch14-L sizes)
     quantize_int8_mode: str = "weight_only"
     # layer indices kept as plain bf16 nn.Dense even when quantize_int8 —
-    # the int8 sensitivity lever (docs/int8_study_r3.md): token flips under
-    # 'dynamic' concentrate in the final pre-quantizer encoder blocks
+    # the int8 sensitivity lever (docs/int8_study_r3.md): EARLY encoder
+    # layers dominate token flips (quant noise amplifies through the stack),
+    # so protect low indices first
     quantize_int8_bf16_layers: tuple = ()
+    # >0: group-wise weight scales over the input dim (one scale per
+    # (group_size, out-channel) block) — cuts the weight rounding error, the
+    # dominant flip source (docs/int8_study_r3.md)
+    quantize_int8_group_size: int = 0
 
     def __post_init__(self):
         # keep hashable for flax-module attribute equality / jit staticness

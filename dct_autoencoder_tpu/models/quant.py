@@ -25,11 +25,15 @@ capability upgrade.
 Measured (v5e, headline bench shapes, BENCH_MODE=int8 INT8_MODE=dynamic,
 same-session A/B): **5,571 img/s vs 5,329 bf16 at 64 rows (+4.5%)** and
 **5,124 vs 4,692 at 128 rows (+9%)** — the int8 MXU rate wins over the
-per-token quantization overhead, more so as the batch grows.  Token
-agreement vs the fp model is ~98%; since flipped tokens change the serving
-contract of a TOKENIZER, `weight_only` (bit-identical activations math in
-bf16, half weight HBM, ~bf16 speed) stays the default and `dynamic` is the
-explicit max-throughput opt-in.
+per-token quantization overhead, more so as the batch grows.  The round-3
+sensitivity study (docs/int8_study_r3.md) showed the best operating point is
+`dynamic` + `quantize_int8_bf16_layers=(0, 1)`: **+5.7 to +6.9% over bf16**
+AND at the 8-bit weight-rounding flip floor (~2.5% on the lightly-trained
+study checkpoint; margin-limited, proven by a noise-equivalence probe).
+Since flipped tokens change the serving contract of a TOKENIZER,
+`weight_only` (bit-identical activations math in bf16, half weight HBM,
+~bf16 speed) stays the default and dynamic+first2-bf16 is the explicit
+max-throughput opt-in.
 """
 from __future__ import annotations
 
@@ -41,9 +45,23 @@ import numpy as np
 from flax import linen as nn
 
 
-def _quantize_weight(w: np.ndarray):
-    """(in, out) float kernel -> (int8 kernel, (out,) f32 per-channel scale)."""
+def _quantize_weight(w: np.ndarray, group_size: int = 0):
+    """(in, out) float kernel -> int8 kernel + f32 scales.
+
+    group_size=0: per-output-channel scales, shape (out,).
+    group_size=g: group-wise scales over the INPUT dim, shape (in//g, out) —
+    each scale covers a (g, out-channel) block, cutting weight rounding error
+    roughly by the local/global amax ratio.  `in` must divide by g.
+    """
     w = np.asarray(w, dtype=np.float32)
+    if group_size:
+        d_in, d_out = w.shape
+        assert d_in % group_size == 0, (d_in, group_size)
+        wg = w.reshape(d_in // group_size, group_size, d_out)
+        scale = np.abs(wg).max(axis=1) / 127.0  # (groups, out)
+        scale = np.where(scale == 0.0, 1.0, scale)
+        q = np.clip(np.round(wg / scale[:, None, :]), -127, 127)
+        return q.reshape(d_in, d_out).astype(np.int8), scale.astype(np.float32)
     scale = np.abs(w).max(axis=0) / 127.0
     scale = np.where(scale == 0.0, 1.0, scale)
     q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
@@ -71,6 +89,12 @@ class Int8Dense(nn.Module):
     use_bias: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     mode: str = "weight_only"
+    # >0: group-wise weight scales over the input dim (scale per
+    # (group_size, out-channel) block).  Finer scales cut the weight rounding
+    # error — the DOMINANT source of token flips (docs/int8_study_r3.md) —
+    # at the cost of a (in//g, out) scale tensor and, in dynamic mode, a
+    # G-batched int8 matmul instead of one flat one.
+    group_size: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -79,20 +103,25 @@ class Int8Dense(nn.Module):
             f"{self.mode!r}"
         )
         in_dim = x.shape[-1]
+        g = self.group_size
+        assert g == 0 or in_dim % g == 0, (in_dim, g)
         kernel_q = self.param(
             "kernel_q",
             lambda rng, shape: jnp.zeros(shape, jnp.int8),
             (in_dim, self.features),
         )
-        kernel_scale = self.param(
-            "kernel_scale", nn.initializers.ones, (self.features,)
-        )
+        scale_shape = (in_dim // g, self.features) if g else (self.features,)
+        kernel_scale = self.param("kernel_scale", nn.initializers.ones, scale_shape)
 
         if self.mode == "weight_only":
-            w = (kernel_q.astype(jnp.float32) * kernel_scale).astype(self.dtype)
+            if g:
+                w = kernel_q.astype(jnp.float32).reshape(-1, g, self.features)
+                w = (w * kernel_scale[:, None, :]).reshape(in_dim, self.features)
+            else:
+                w = kernel_q.astype(jnp.float32) * kernel_scale
             y = jax.lax.dot_general(
                 x.astype(self.dtype),
-                w,
+                w.astype(self.dtype),
                 (((x.ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -102,30 +131,41 @@ class Int8Dense(nn.Module):
             amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
             x_scale = jnp.maximum(amax, 1e-8) / 127.0
             xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
-            acc = jax.lax.dot_general(
-                xq,
-                kernel_q,
-                (((x.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            y = acc.astype(jnp.float32) * x_scale * kernel_scale
+            if g:
+                # G-batched int8 matmul: per-group int32 accumulators so each
+                # group's scale applies before the cross-group sum
+                lead = xq.shape[:-1]
+                xg = xq.reshape(*lead, in_dim // g, g)
+                wg = kernel_q.reshape(in_dim // g, g, self.features)
+                acc = jnp.einsum(
+                    "...Gg,Ggo->...Go", xg, wg, preferred_element_type=jnp.int32
+                )
+                y = (acc.astype(jnp.float32) * kernel_scale).sum(axis=-2) * x_scale
+            else:
+                acc = jax.lax.dot_general(
+                    xq,
+                    kernel_q,
+                    (((x.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                y = acc.astype(jnp.float32) * x_scale * kernel_scale
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias
         return y.astype(self.dtype)
 
 
-def quantize_dense_params(params: Any) -> Any:
+def quantize_dense_params(params: Any, group_size: int = 0) -> Any:
     """Rewrite every Dense {kernel, bias} subtree into Int8Dense params.
 
     Only applies to subtrees that look like Dense params (a 2-D 'kernel'
     leaf); everything else passes through unchanged.
     """
-    return _quantize_stack(params)
+    return _quantize_stack(params, group_size)
 
 
 def quantize_transformer_params(
-    params: Any, encoder_bf16_layers=(), decoder_bf16_layers=()
+    params: Any, encoder_bf16_layers=(), decoder_bf16_layers=(), group_size: int = 0
 ) -> Any:
     """Quantize ONLY the encoder/decoder transformer stacks of a
     DCTAutoencoder param tree (patch embed / LFQ / proj_out stay bf16).
@@ -136,21 +176,21 @@ def quantize_transformer_params(
         if stack in out:
             skip = frozenset(f"layers_{i}" for i in bf16)
             out[stack] = {
-                k: (v if k in skip else _quantize_stack(v))
+                k: (v if k in skip else _quantize_stack(v, group_size))
                 for k, v in out[stack].items()
             }
     return out
 
 
-def _quantize_stack(node: Any) -> Any:
+def _quantize_stack(node: Any, group_size: int = 0) -> Any:
     if isinstance(node, dict):
         if "kernel" in node and getattr(node["kernel"], "ndim", 0) == 2:
-            q, scale = _quantize_weight(np.asarray(node["kernel"]))
+            q, scale = _quantize_weight(np.asarray(node["kernel"]), group_size)
             out = {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(scale)}
             if "bias" in node:
                 out["bias"] = jnp.asarray(np.asarray(node["bias"], np.float32))
             return out
-        return {k: _quantize_stack(v) for k, v in node.items()}
+        return {k: _quantize_stack(v, group_size) for k, v in node.items()}
     return node
 
 
@@ -159,6 +199,7 @@ def quantize_model_for_serving(
     mode: str = None,
     encoder_bf16_layers=(),
     decoder_bf16_layers=(),
+    group_size: int = 0,
 ) -> "Any":
     """Trained DCTAutoencoder -> int8-serving DCTAutoencoder.
 
@@ -166,8 +207,11 @@ def quantize_model_for_serving(
     (config.encoder_config.quantize_int8=True) and rewrites the trained
     params into quantized form.  Same API surface (forward/encode/decode).
     mode overrides quantize_int8_mode ('weight_only'/'dynamic');
-    *_bf16_layers keep those layer indices fp (docs/int8_study_r3.md: token
-    flips under 'dynamic' concentrate in the last pre-LFQ encoder blocks).
+    *_bf16_layers keep those layer indices fp — the measured sensitivity
+    (docs/int8_study_r3.md) is that EARLY encoder layers dominate token
+    flips (quant noise amplifies through the stack), so protect low indices
+    first; group_size>0 uses group-wise weight scales (the weight rounding
+    error is the dominant flip source).
     """
     import copy
 
@@ -178,12 +222,14 @@ def quantize_model_for_serving(
     cfg.decoder_config.quantize_int8 = True
     cfg.encoder_config.quantize_int8_bf16_layers = tuple(encoder_bf16_layers)
     cfg.decoder_config.quantize_int8_bf16_layers = tuple(decoder_bf16_layers)
+    cfg.encoder_config.quantize_int8_group_size = group_size
+    cfg.decoder_config.quantize_int8_group_size = group_size
     if mode is not None:
         cfg.encoder_config.quantize_int8_mode = mode
         cfg.decoder_config.quantize_int8_mode = mode
     qmodel = DCTAutoencoder(cfg, dtype=model.dtype)
     qparams = quantize_transformer_params(
-        model.params, encoder_bf16_layers, decoder_bf16_layers
+        model.params, encoder_bf16_layers, decoder_bf16_layers, group_size
     )
     assert jax.tree_util.tree_structure(qparams) == jax.tree_util.tree_structure(
         qmodel.params

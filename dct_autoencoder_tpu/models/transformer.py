@@ -105,6 +105,7 @@ def _dense(cfg: TransformerConfig, features: int, dtype, name: str):
             features,
             dtype=dtype,
             mode=getattr(cfg, "quantize_int8_mode", "weight_only"),
+            group_size=getattr(cfg, "quantize_int8_group_size", 0),
             name=name,
         )
     return nn.Dense(features, dtype=dtype, name=name)

@@ -125,6 +125,38 @@ def shard_params(params: Any, mesh: Mesh, tensor_parallel: bool = True) -> Any:
     return jax.tree_util.tree_map(jax.device_put, params, sh)
 
 
+def zero1_opt_spec(opt_state: Any, mesh: Mesh, min_size: int = 2**13) -> Any:
+    """ZeRO-1 PartitionSpec tree for optimizer state.
+
+    Each sizeable leaf (Adam mu/nu and friends) gets sharded over the DATA
+    axis on its first evenly-divisible dim; scalars/small leaves replicate.
+    Handing this to jit as the TrainState.opt_state in/out sharding makes
+    XLA's SPMD partitioner lower the optimizer update as
+    reduce-scatter(grads) -> per-shard update -> all-gather(params) — the
+    ZeRO-1 memory split (optimizer state / n_data per chip) without any
+    manual collectives.  min_size gates tiny leaves where sharding overhead
+    beats the memory win (set 0 in tests).
+    """
+    n = mesh.shape[DATA_AXIS]
+
+    def spec_for(leaf):
+        shape = tuple(getattr(leaf, "shape", ()) or ())
+        if not shape or int(np.prod(shape)) < max(min_size, 1):
+            return P()
+        for ax, dim in enumerate(shape):
+            if dim >= n and dim % n == 0:
+                return P(*([None] * ax + [DATA_AXIS]))
+        return P()
+
+    return jax.tree_util.tree_map(spec_for, opt_state)
+
+
+def zero1_opt_sharding(opt_state: Any, mesh: Mesh, min_size: int = 2**13) -> Any:
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), zero1_opt_spec(opt_state, mesh, min_size)
+    )
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

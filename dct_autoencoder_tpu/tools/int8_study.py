@@ -7,9 +7,16 @@ breaking the tokenizer contract:
 
   * weight_only vs fp        — the serving default's own weight-quant error
   * dynamic (all layers)     — weight + per-token activation quant
-  * dynamic, last N encoder blocks bf16 — the pre-LFQ-sensitivity hypothesis
+  * dynamic, last/first N encoder blocks bf16 — where does protection help?
+    (measured: FIRST layers dominate — quant noise amplifies through the
+    stack — so protect low indices)
+  * group-wise weight scales (g=128) — finer weight quant for both modes
   * one-layer-at-a-time      — exactly one encoder layer int8-dynamic (all
     others exact fp): flips attributable to that layer alone
+  * noise_equiv              — fp weights + uniform noise of the SAME
+    magnitude as the int8 rounding error (scale/2 per channel).  If its flip
+    rate matches weight_only's, the flips are a property of the model's LFQ
+    sign margins, not of quantization specifics — i.e. a real floor.
 
 Tokens depend only on the ENCODER (codes come out of encode); decoder
 quantization cannot flip them, so variants alter the encoder stack only.
@@ -29,6 +36,42 @@ import json
 import os
 
 import numpy as np
+
+
+def _noise_equiv_model(model, seed: int):
+    """fp sibling whose stack kernels carry uniform noise at the int8
+    rounding magnitude (±scale/2, scale = per-out-channel amax/127)."""
+    import copy
+
+    import jax.numpy as jnp
+
+    from ..models.autoencoder import DCTAutoencoder
+
+    rng = np.random.default_rng(seed)
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "kernel" in node and getattr(node["kernel"], "ndim", 0) == 2:
+                w = np.asarray(node["kernel"], np.float32)
+                scale = np.abs(w).max(axis=0) / 127.0
+                noise = rng.uniform(-0.5, 0.5, size=w.shape).astype(np.float32)
+                out = dict(node)
+                out["kernel"] = jnp.asarray(
+                    w + noise * scale, dtype=node["kernel"].dtype
+                )
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    m = DCTAutoencoder(copy.deepcopy(model.config), dtype=model.dtype)
+    params = dict(model.params)
+    for stack in ("encoder", "decoder"):
+        if stack in params:
+            params[stack] = walk(params[stack])
+    m.params = params
+    m.patchnorm = model.patchnorm
+    m.vq_stats = model.vq_stats
+    return m
 
 
 def main():
@@ -133,15 +176,39 @@ def main():
     report("weight_only", quantize_model_for_serving(model, mode="weight_only"))
     report("dynamic", quantize_model_for_serving(model, mode="dynamic"))
     report(
-        f"dynamic_last1_bf16",
+        "dynamic_last1_bf16",
         quantize_model_for_serving(model, mode="dynamic", encoder_bf16_layers=(L - 1,)),
     )
     report(
-        f"dynamic_last2_bf16",
+        "dynamic_last2_bf16",
         quantize_model_for_serving(
             model, mode="dynamic", encoder_bf16_layers=(L - 2, L - 1)
         ),
     )
+    report(
+        "dynamic_first2_bf16",
+        quantize_model_for_serving(model, mode="dynamic", encoder_bf16_layers=(0, 1)),
+    )
+    report(
+        "weight_only_g128",
+        quantize_model_for_serving(model, mode="weight_only", group_size=128),
+    )
+    report(
+        "dynamic_g128",
+        quantize_model_for_serving(model, mode="dynamic", group_size=128),
+    )
+    report(
+        "dynamic_g128_first2_bf16",
+        quantize_model_for_serving(
+            model, mode="dynamic", group_size=128, encoder_bf16_layers=(0, 1)
+        ),
+    )
+
+    # floor probe: fp weights + uniform noise at the int8 rounding magnitude.
+    # Matching weight_only's flip rate proves the flips come from LFQ sign
+    # margins, not from quantization specifics.
+    for seed in (1, 2):
+        report(f"noise_equiv_seed{seed}", _noise_equiv_model(model, seed))
 
     if args.per_layer:
         for i in range(L):

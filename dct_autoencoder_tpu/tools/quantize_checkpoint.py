@@ -20,14 +20,14 @@ import argparse
 import os
 
 
-def main(model_path: str, out_path: str, validate_images: str = "") -> None:
+def main(model_path: str, out_path: str, validate_images: str = "", group_size: int = 0) -> None:
     import numpy as np
 
     from ..models.autoencoder import DCTAutoencoder
     from ..models.quant import quantize_model_for_serving
 
     model = DCTAutoencoder.from_pretrained(model_path)
-    qmodel = quantize_model_for_serving(model)
+    qmodel = quantize_model_for_serving(model, group_size=group_size)
     qmodel.save_pretrained(out_path)
     n_int8 = sum(
         int(np.prod(p.shape))
@@ -78,5 +78,6 @@ if __name__ == "__main__":
     p.add_argument("--model_path", required=True)
     p.add_argument("--out_path", required=True)
     p.add_argument("--validate_images", default="")
+    p.add_argument("--group_size", type=int, default=0, help="group-wise weight scales over the input dim (0 = per-output-channel)")
     args = p.parse_args()
-    main(args.model_path, args.out_path, args.validate_images)
+    main(args.model_path, args.out_path, args.validate_images, args.group_size)

@@ -52,6 +52,8 @@ def main(
     profile_dir: str = None,
     grad_accumulation_steps: int = 1,
     n_model_parallel: int = 1,
+    # ZeRO-1: shard optimizer moments over the data axis (train/loop.py)
+    zero1: bool = False,
     rec_loss_unnormalized: float = 1.0,
     rec_loss: float = 0.1,
     commit_loss: float = 0.1,
@@ -166,6 +168,7 @@ def main(
         grad_accumulation_steps=grad_accumulation_steps,
         loss_weights=loss_weights,
         n_model_parallel=n_model_parallel,
+        zero1=zero1,
         use_pixel_loss=use_pixel_loss,
         pixel_loss_max_images=pixel_loss_max_images,
         prefetch_batches=prefetch_batches,

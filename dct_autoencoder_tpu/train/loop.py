@@ -384,11 +384,32 @@ def _vq_codebook_surgery(
     return params, vq_stats, opt_state
 
 
+def zero1_state_sharding(
+    state: TrainState, mesh: Mesh, min_size: int = 2**13
+) -> TrainState:
+    """TrainState-shaped NamedSharding tree for ZeRO-1: params/step/vq_stats
+    replicated, optimizer moments data-sharded (parallel.mesh.zero1_opt_spec).
+    Use it both as the jit in/out sharding AND to `jax.device_put` the state
+    before the first step — jit with explicit in_shardings requires committed
+    arrays to already match."""
+    from ..parallel.mesh import zero1_opt_sharding
+
+    rep = replicated(mesh)
+    return TrainState(
+        params=jax.tree_util.tree_map(lambda _: rep, state.params),
+        opt_state=zero1_opt_sharding(state.opt_state, mesh, min_size),
+        step=rep,
+        vq_stats=jax.tree_util.tree_map(lambda _: rep, state.vq_stats),
+    )
+
+
 def jit_train_step(
     train_step: Callable,
     mesh: Mesh,
     params_example: Any,
     tensor_parallel: bool = True,
+    zero1_state: Optional[TrainState] = None,
+    zero1_min_size: int = 2**13,
 ) -> Callable:
     """jit the train step over the mesh with explicit input shardings.
 
@@ -399,12 +420,27 @@ def jit_train_step(
     Covers the full 4-arg step signature (state, patchnorm, batch,
     grid_sizes) — call with grid_sizes=None explicitly when not using the
     pixel loss.
+
+    zero1_state: pass the (example) TrainState to enable ZeRO-1 — optimizer
+    moments get explicit data-axis shardings (parallel.mesh.zero1_opt_spec)
+    pinned on both input AND output, so XLA lowers the update as
+    reduce-scatter(grads) -> per-shard Adam -> all-gather(params) and each
+    chip holds 1/n_data of the moments.  Params stay replicated (compose TP
+    separately).
     """
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
-    # 4th arg = pixel-loss grid_sizes (small replicated array; None sharding)
+    if zero1_state is None:
+        # 4th arg = pixel-loss grid_sizes (small replicated array; None sharding)
+        return jax.jit(
+            train_step, in_shardings=(None, rep, bsh, None), donate_argnums=(0,)
+        )
+    state_sh = zero1_state_sharding(zero1_state, mesh, zero1_min_size)
     return jax.jit(
-        train_step, in_shardings=(None, rep, bsh, None), donate_argnums=(0,)
+        train_step,
+        in_shardings=(state_sh, rep, bsh, None),
+        out_shardings=(state_sh, None),
+        donate_argnums=(0,),
     )
 
 
@@ -462,6 +498,12 @@ def train(
     loss_weights: Optional[Dict[str, float]] = None,
     warmup_dict: Optional[Dict[str, int]] = None,
     n_model_parallel: int = 1,
+    # ZeRO-1: shard optimizer moments over the data axis (each chip holds
+    # 1/n_data of the Adam state; XLA inserts the reduce-scatter/all-gather).
+    # Memory lever for large configs on small meshes; single-host
+    # checkpointing gathers transparently, multi-host save requires the
+    # orbax tier (it writes sharded arrays natively).
+    zero1: bool = False,
     use_pixel_loss: bool = False,
     pixel_loss_max_images: int = 64,
     prefetch_batches: int = 2,
@@ -524,7 +566,14 @@ def train(
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
     with mesh:
-        jitted = jax.jit(step_fn, in_shardings=(None, rep, bsh, None), donate_argnums=(0,))
+        if zero1:
+            zsh = zero1_state_sharding(state, mesh)
+            state = jax.device_put(state, zsh)
+            jitted = jit_train_step(step_fn, mesh, None, zero1_state=state)
+        else:
+            jitted = jax.jit(
+                step_fn, in_shardings=(None, rep, bsh, None), donate_argnums=(0,)
+            )
 
         t0 = time.time()
         n_data = mesh.shape["data"]
@@ -569,6 +618,11 @@ def train(
                             state, model.patchnorm = load_train_state(
                                 out_dir, state, model.patchnorm
                             )
+                            if zero1:
+                                # restored leaves are host arrays; re-place to
+                                # the pinned ZeRO-1 shardings before the next
+                                # jitted call (committed args must match)
+                                state = jax.device_put(state, zsh)
                             log(
                                 {
                                     "step": i,

@@ -110,6 +110,63 @@ def test_tensor_parallel_step_matches_single_device():
     )
 
 
+def test_zero1_opt_sharding_matches_single_device():
+    """ZeRO-1 (optimizer moments sharded over the data axis) reproduces the
+    single-device step and actually shards the Adam state."""
+    from dct_autoencoder_tpu.train.loop import jit_train_step
+
+    cfg = tiny_config()
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(3)
+    batch = make_batch(proc, rng, n_images=8)
+    mesh = make_mesh(n_model=1)
+    n_data = mesh.shape["data"]
+    b = batch.patches.shape[0]
+    pad_rows = (-b) % n_data
+    if pad_rows:
+        def pad(x):
+            if x.ndim == 0:
+                return x
+            return jnp.pad(x, [(0, pad_rows)] + [(0, 0)] * (x.ndim - 1))
+        batch = jax.tree_util.tree_map(pad, batch)
+        batch = batch.replace(key_pad_mask=batch.key_pad_mask.at[b:].set(True))
+    model.patchnorm, _ = calibrate_patchnorm_batch(model.patchnorm, batch)
+    tx = make_optimizer(learning_rate=1e-3, max_iters=10, warmup_steps=0)
+    step_fn = make_train_step(model.module, tx)
+
+    s0 = TrainState.create(model.params, tx)
+    _, m_single = jax.jit(step_fn)(s0, model.patchnorm, batch)
+
+    with mesh:
+        state = TrainState.create(model.params, tx)
+        jitted = jit_train_step(
+            step_fn, mesh, None, zero1_state=state, zero1_min_size=0
+        )
+        sb = shard_batch(batch, mesh)
+        new_state, m = jitted(state, model.patchnorm, sb, None)
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m["loss"]), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(m_single["grad_norm"]), float(m["grad_norm"]), rtol=1e-3
+        )
+        # Adam moments actually sharded over the data axis
+        momenty = [
+            v
+            for v in jax.tree_util.tree_leaves(new_state.opt_state)
+            if getattr(v, "ndim", 0) >= 1 and v.size >= 8
+        ]
+        assert momenty
+        assert any("data" in str(getattr(v, "sharding", "")) for v in momenty)
+        # params stay replicated (gathered back after the sharded update)
+        for v in jax.tree_util.tree_leaves(new_state.params):
+            assert "data" not in str(getattr(v.sharding, "spec", ""))
+        # a second step runs straight off the sharded (donated) state
+        new_state2, m2 = jitted(new_state, model.patchnorm, sb, None)
+        assert np.isfinite(float(m2["loss"]))
+        assert int(new_state2.step) == 2
+
+
 def test_ema_codebook_psum_sync_matches_global():
     """shard_map + psum codebook stats == single-device global update
     (TPU-native replacement for torch.distributed all_reduce,

@@ -33,6 +33,55 @@ def test_int8_dense_matches_fp_within_quant_error():
         assert rel < 0.03, (mode, rel)
 
 
+def test_group_wise_weight_quant_tighter():
+    """Group-wise scales reduce weight rounding error vs per-channel, and
+    Int8Dense consumes the (groups, out) scale layout in both modes."""
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((32, 64)).astype(np.float32) * 0.1
+    # one outlier row per column blows up the per-channel scale; groups localize it
+    w[0] *= 20.0
+
+    q_pc, s_pc = _quantize_weight(w)
+    q_g, s_g = _quantize_weight(w, group_size=8)
+    assert s_g.shape == (4, 64)
+    deq_pc = q_pc.astype(np.float32) * s_pc
+    deq_g = (q_g.reshape(4, 8, 64).astype(np.float32) * s_g[:, None, :]).reshape(32, 64)
+    err_pc = np.abs(deq_pc - w).mean()
+    err_g = np.abs(deq_g - w).mean()
+    assert err_g < err_pc * 0.5, (err_g, err_pc)
+
+    x = jnp.asarray(rng.standard_normal((4, 16, 32)).astype(np.float32))
+    b = np.zeros(64, np.float32)
+    want = np.asarray(x @ w)
+    params = {"params": {"kernel_q": jnp.asarray(q_g), "kernel_scale": jnp.asarray(s_g), "bias": jnp.asarray(b)}}
+    for mode in ("weight_only", "dynamic"):
+        got = Int8Dense(64, dtype=jnp.float32, mode=mode, group_size=8).apply(params, x)
+        rel = np.abs(np.asarray(got) - want).max() / np.abs(want).max()
+        assert rel < 0.03, (mode, rel)
+
+
+def test_quantized_model_group_size_end_to_end():
+    """quantize_model_for_serving(group_size=...) builds a consistent module/
+    param pair and token agreement does not regress vs per-channel scales."""
+    cfg = tiny_config("lfq")
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(11)
+    batch = make_batch(proc, rng, n_images=4)
+    model.patchnorm, _ = calibrate_patchnorm_batch(model.patchnorm, batch)
+    nb = model.normalize_(batch)
+    valid = ~np.asarray(nb.key_pad_mask)
+    codes_fp = np.asarray(model.forward(nb, training=False)["codes"])[valid]
+
+    q_pc = quantize_model_for_serving(model, mode="dynamic")
+    q_g = quantize_model_for_serving(model, mode="dynamic", group_size=32)
+    sc = q_g.params["encoder"]["layers_0"]["self_attn"]["q_proj"]["kernel_scale"]
+    assert np.asarray(sc).shape == (cfg.encoder_config.hidden_size // 32, cfg.encoder_config.hidden_size)
+    agree_pc = (np.asarray(q_pc.forward(nb, training=False)["codes"])[valid] == codes_fp).mean()
+    agree_g = (np.asarray(q_g.forward(nb, training=False)["codes"])[valid] == codes_fp).mean()
+    assert agree_g >= agree_pc - 0.005, (agree_g, agree_pc)
+    assert agree_g > 0.9
+
+
 def test_quantize_dense_params_structure():
     w = np.random.default_rng(1).standard_normal((8, 4)).astype(np.float32)
     tree = {"layer": {"kernel": w, "bias": np.zeros(4, np.float32)}, "other": {"x": np.ones(3)}}
