@@ -20,14 +20,19 @@ import argparse
 import os
 
 
-def main(model_path: str, out_path: str, validate_images: str = "", group_size: int = 0) -> None:
+def main(model_path: str, out_path: str, validate_images: str = "", group_size: int = 0,
+         mode: str = None, bf16_layers: str = "") -> None:
     import numpy as np
 
     from ..models.autoencoder import DCTAutoencoder
     from ..models.quant import quantize_model_for_serving
 
     model = DCTAutoencoder.from_pretrained(model_path)
-    qmodel = quantize_model_for_serving(model, group_size=group_size)
+    layers = tuple(int(i) for i in bf16_layers.split(",") if i)
+    qmodel = quantize_model_for_serving(
+        model, mode=mode, encoder_bf16_layers=layers, decoder_bf16_layers=layers,
+        group_size=group_size,
+    )
     qmodel.save_pretrained(out_path)
     n_int8 = sum(
         int(np.prod(p.shape))
@@ -79,5 +84,8 @@ if __name__ == "__main__":
     p.add_argument("--out_path", required=True)
     p.add_argument("--validate_images", default="")
     p.add_argument("--group_size", type=int, default=0, help="group-wise weight scales over the input dim (0 = per-output-channel)")
+    p.add_argument("--mode", default=None, help="weight_only (default) or dynamic")
+    p.add_argument("--bf16_layers", default="", help="comma list of layer idxs kept bf16 in both stacks; the recommended max-throughput config is --mode dynamic --bf16_layers 0,1 (docs/int8_study_r3.md)")
     args = p.parse_args()
-    main(args.model_path, args.out_path, args.validate_images, args.group_size)
+    main(args.model_path, args.out_path, args.validate_images, args.group_size,
+         args.mode, args.bf16_layers)

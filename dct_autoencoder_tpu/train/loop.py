@@ -391,7 +391,14 @@ def zero1_state_sharding(
     replicated, optimizer moments data-sharded (parallel.mesh.zero1_opt_spec).
     Use it both as the jit in/out sharding AND to `jax.device_put` the state
     before the first step — jit with explicit in_shardings requires committed
-    arrays to already match."""
+    arrays to already match.
+
+    Donation hazard: device_put ALIASES the device-0 buffer for replicated
+    shardings, so after the placed state is donated to the jitted step the
+    SOURCE arrays (e.g. model.params the state was created from) are deleted
+    too.  train() reassigns model.params from the live state before any use;
+    external callers must not touch pre-placement arrays after step 1 (see
+    tests/test_parallel.py::test_zero1_checkpoint_resume_exact)."""
     from ..parallel.mesh import zero1_opt_sharding
 
     rep = replicated(mesh)

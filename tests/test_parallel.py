@@ -167,6 +167,66 @@ def test_zero1_opt_sharding_matches_single_device():
         assert int(new_state2.step) == 2
 
 
+def test_zero1_checkpoint_resume_exact(tmp_path):
+    """Orbax save/restore of a ZeRO-1-sharded TrainState resumes bitwise:
+    (step, save, restore, step) == (step, step)."""
+    from dct_autoencoder_tpu.train.checkpoint import load_train_state, save_train_state
+    from dct_autoencoder_tpu.train.loop import jit_train_step, zero1_state_sharding
+
+    cfg = tiny_config()
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(9)
+    batch = make_batch(proc, rng, n_images=8)
+    mesh = make_mesh(n_model=1)
+    n_data = mesh.shape["data"]
+    b = batch.patches.shape[0]
+    pad_rows = (-b) % n_data
+    if pad_rows:
+        def pad(x):
+            if x.ndim == 0:
+                return x
+            return jnp.pad(x, [(0, pad_rows)] + [(0, 0)] * (x.ndim - 1))
+        batch = jax.tree_util.tree_map(pad, batch)
+        batch = batch.replace(key_pad_mask=batch.key_pad_mask.at[b:].set(True))
+    model.patchnorm, _ = calibrate_patchnorm_batch(model.patchnorm, batch)
+    tx = make_optimizer(learning_rate=1e-3, max_iters=10, warmup_steps=0)
+    step_fn = make_train_step(model.module, tx)
+
+    with mesh:
+        zsh = zero1_state_sharding(
+            TrainState.create(model.params, tx), mesh, min_size=0
+        )
+        state = jax.device_put(TrainState.create(model.params, tx), zsh)
+        jitted = jit_train_step(
+            step_fn, mesh, None, zero1_state=state, zero1_min_size=0
+        )
+        sb = shard_batch(batch, mesh)
+        s1, _ = jitted(state, model.patchnorm, sb, None)
+        save_train_state(str(tmp_path / "ck"), s1, model.patchnorm)
+
+        # continued run (donates s1)
+        s2_cont, m_cont = jitted(s1, model.patchnorm, sb, None)
+
+        # resumed run: restore against a sharded template, re-place, step.
+        # NB: s2_cont serves as the template — a fresh
+        # TrainState.create(model.params, ...) would NOT work here because
+        # device_put aliases the device-0 buffer for replicated shardings, so
+        # donating the first state also deleted the original model.params.
+        s1_rest, pn = load_train_state(str(tmp_path / "ck"), s2_cont, model.patchnorm)
+        s1_rest = jax.device_put(s1_rest, zsh)
+        s2_res, m_res = jitted(s1_rest, pn, sb, None)
+
+    assert int(s2_res.step) == int(s2_cont.step) == 2
+    np.testing.assert_array_equal(
+        np.asarray(m_cont["loss"]), np.asarray(m_res["loss"])
+    )
+    for a, c in zip(
+        jax.tree_util.tree_leaves(s2_cont.params),
+        jax.tree_util.tree_leaves(s2_res.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_ema_codebook_psum_sync_matches_global():
     """shard_map + psum codebook stats == single-device global update
     (TPU-native replacement for torch.distributed all_reduce,
