@@ -370,19 +370,26 @@ def kmeans_init_from_batch(
     mask: jnp.ndarray,  # (b, n) bool valid tokens
     rng: jax.Array,
     iters: int = 10,
-) -> jnp.ndarray:
+    return_bins: bool = False,
+):
     """k-means-initialize the codebook from the first batch's encoder outputs
     (reference vector_quantize.py:180-220 via kmeans_init=True).
 
     Runs k-means over a pool of valid samples (static pool size keeps the
     program shape-stable).  Shared codebooks pool all heads; per-head
-    codebooks get an independent k-means per head."""
+    codebooks get an independent k-means per head.  return_bins=True also
+    returns the assignment counts ((z,) or (h, z)) for seeding EMA buffers."""
     b, n, h, d = z.shape
     if codebook.ndim == 2:
         zsize = codebook.shape[0]
         pool_m = min(b * n * h, max(4 * zsize, 4096))
         valid = jnp.broadcast_to(mask[..., None], (b, n, h))
         pool = sample_valid_vectors(z, valid, pool_m, rng)
+        if return_bins:
+            means, bins = kmeans_init_codebook(
+                pool, zsize, rng, iters=iters, return_bins=True
+            )
+            return means.astype(codebook.dtype), bins
         return kmeans_init_codebook(pool, zsize, rng, iters=iters).astype(
             codebook.dtype
         )
@@ -391,10 +398,15 @@ def kmeans_init_from_batch(
 
     def per_head(zh, key):
         pool = sample_valid_vectors(zh, mask, pool_m, key)
-        return kmeans_init_codebook(pool, zsize, key, iters=iters)
+        return kmeans_init_codebook(
+            pool, zsize, key, iters=iters, return_bins=return_bins
+        )
 
     keys = jax.random.split(rng, h)
-    out = jax.vmap(per_head, in_axes=(2, 0))(z, keys)  # (h, z, d)
+    out = jax.vmap(per_head, in_axes=(2, 0))(z, keys)
+    if return_bins:
+        means, bins = out  # (h, z, d), (h, z)
+        return means.astype(codebook.dtype), bins
     return out.astype(codebook.dtype)
 
 
@@ -543,9 +555,17 @@ def ema_codebook_update(
 
 
 def kmeans_init_codebook(
-    flat_x: jnp.ndarray, codebook_size: int, rng: jax.Array, iters: int = 10
-) -> jnp.ndarray:
-    """k-means codebook init (reference vector_quantize.py:180-220)."""
+    flat_x: jnp.ndarray,
+    codebook_size: int,
+    rng: jax.Array,
+    iters: int = 10,
+    return_bins: bool = False,
+):
+    """k-means codebook init (reference vector_quantize.py:180-220).
+
+    return_bins=True also returns the final assignment counts (z,) — the
+    reference's init_embed_ seeds the EMA buffers with them (cluster_size =
+    bins, embed_avg = embed * bins)."""
     m = flat_x.shape[0]
     perm = jax.random.permutation(rng, m)[:codebook_size]
     means = flat_x[perm % m]
@@ -559,7 +579,12 @@ def kmeans_init_codebook(
         new_means = sums / jnp.clip(bins[:, None], 1.0, None)
         return jnp.where(bins[:, None] > 0, new_means, means)
 
-    return jax.lax.fori_loop(0, iters, body, means)
+    means = jax.lax.fori_loop(0, iters, body, means)
+    if not return_bins:
+        return means
+    idx = jnp.argmin(_euclidean_sq_dist(flat_x, means), axis=-1)
+    bins = jax.nn.one_hot(idx, codebook_size, dtype=flat_x.dtype).sum(axis=0)
+    return means, bins
 
 
 def expire_dead_codes(

@@ -141,17 +141,25 @@ class DCTPipeline:
         for batch in self.processor.iter_batches(
             iter([cols]), batch_size=batch_size, drain=batch_size is not None
         ):
+            # strip the static pytree aux (patch_sizes/original_sizes/_data)
+            # before any jitted call: left on the batch it keys the compile
+            # cache and a daemon recompiles per image-size/count combination
+            # even when the padded device shapes are identical
+            meta = dict(
+                patch_sizes=batch.patch_sizes, original_sizes=batch.original_sizes
+            )
+            batch = batch.replace(
+                attn_mask=None, patch_sizes=(), original_sizes=(), _data=None
+            )
             if self.pad_rows_to:
                 from .parallel.mesh import pad_batch_rows
 
-                # drop the (b,1,s,s) mask before padding: the model derives
-                # masking from ids, and row-padding it is a multi-MB host copy
-                batch = pad_batch_rows(
-                    batch.replace(attn_mask=None), self.pad_rows_to
-                )
+                # (the (b,1,s,s) mask was dropped above: the model derives
+                # masking from ids, and row-padding it is a multi-MB host copy)
+                batch = pad_batch_rows(batch, self.pad_rows_to)
             nb = self.model.normalize_(batch)
             out = self._forward(nb)
-            records.extend(to_dict(out["dct_patches"], out["codes"]))
+            records.extend(to_dict(out["dct_patches"].replace(**meta), out["codes"]))
         return records
 
     def decode(self, records: Sequence[dict]) -> List[np.ndarray]:
@@ -182,17 +190,22 @@ class DCTPipeline:
                         dp.patch_positions, ((0, 0), (0, padn), (0, 0))
                     ),
                 )
+            # static size aux stays OFF the jitted decode/inv-normalize calls
+            # (same recompile trap as encode); the mask is always dropped —
+            # the model derives it from ids, and from_dict's materialized
+            # (1,1,n,n) ones would otherwise ship n^2 bools per request
             decoded = self.model.decode_from_codes(
                 codes[None],
                 key_pad_mask=dp.key_pad_mask,
-                attn_mask=dp.attn_mask,
+                attn_mask=None,
                 batched_image_ids=dp.batched_image_ids,
                 patch_channels=dp.patch_channels,
                 patch_positions=dp.patch_positions,
-                patch_sizes=dp.patch_sizes,
-                original_sizes=dp.original_sizes,
             )
             decoded = self.model.inv_normalize_(decoded)
+            decoded = decoded.replace(
+                patch_sizes=dp.patch_sizes, original_sizes=dp.original_sizes
+            )
             images.append(np.clip(self.processor.postprocess(decoded)[0], 0.0, 1.0))
         return images
 

@@ -33,15 +33,9 @@ import numpy as np
 
 def load_images(paths: Sequence[str], resize: int = 448) -> List[np.ndarray]:
     """Load RGB images as (c, h, w) float32 in [0,1], resized to resize^2."""
-    from PIL import Image
+    from ..data.images import load_images_chw
 
-    out = []
-    for p in paths:
-        im = Image.open(p).convert("RGB")
-        if resize:
-            im = im.resize((resize, resize), Image.BICUBIC)
-        out.append(np.asarray(im).astype(np.float32).transpose(2, 0, 1) / 255.0)
-    return out
+    return load_images_chw(paths, resize)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -103,6 +97,10 @@ def main(
     ims = load_images([p for p in images.split(",") if p], resize=resize)
 
     out_path = output or (os.path.join(scan, "eval.jsonl") if scan else None)
+    if out_path and os.path.exists(out_path):
+        # one run = one file: a re-run (different --images/--seed) must not
+        # mix rows with a stale earlier scan
+        os.remove(out_path)
     results = []
     pipe = None
     for path in paths:

@@ -104,8 +104,7 @@ def main():
     if args.model_path:
         import glob
 
-        from PIL import Image
-
+        from ..data.images import load_images_chw
         from ..models.factory import get_model_and_processor
 
         model, proc = get_model_and_processor(
@@ -113,12 +112,9 @@ def main():
             resume_path=args.model_path,
         )
         cfg = model.config
-        ims = []
-        for path in sorted(glob.glob(os.path.join(args.image_dir, "*.jpg"))):
-            im = Image.open(path).convert("RGB").resize(
-                (args.resize, args.resize), Image.BICUBIC
-            )
-            ims.append(np.asarray(im).astype(np.float32).transpose(2, 0, 1) / 255.0)
+        ims = load_images_chw(
+            sorted(glob.glob(os.path.join(args.image_dir, "*.jpg"))), args.resize
+        )
         ds = proc.preprocess_many(ims)
         cols = {k: [d[k] for d in ds] for k in ds[0]}
         batch = next(proc.iter_batches(iter([cols]), batch_size=None))

@@ -15,6 +15,7 @@ TPU-native port of the reference trainer (reference: main.py:115-280):
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
@@ -151,8 +152,15 @@ def make_train_step(
     is_vq = module.config.vq_type == "vq"
     base_key = jax.random.PRNGKey(seed)
 
+    # losses that are means over VALID TOKENS; under grad accumulation each
+    # micro-batch re-weights them by its token share so the uniform micro
+    # average reproduces the whole-batch mean (entropy_loss is excluded: it
+    # is nonlinear in the batch split, documented in the accum tests)
+    _TOKEN_MEAN_LOSSES = ("rec_loss", "rec_loss_unnormalized", "commit_loss")
+
     def loss_fn(
-        params, vq_stats, patchnorm, batch, step, rng, grid_sizes=None, pixel_rows=None
+        params, vq_stats, patchnorm, batch, step, rng, grid_sizes=None,
+        pixel_rows=None, pixel_weight=None, token_weight=None,
     ):
         normalized = batch.replace(patches=apply_patchnorm(patchnorm, batch))
         losses = step_autoencoder(
@@ -167,6 +175,17 @@ def make_train_step(
             rng=rng,
             vq_stats=vq_stats if is_vq else None,
         )
+        if pixel_weight is not None and "pixel_loss" in losses:
+            # micro-batch mode: the pixel loss is a per-IMAGE mean but grads
+            # are averaged uniformly over micro-batches, so a micro owning
+            # n_i of N images re-weights by n_i*K/N — accum=K then equals
+            # accum=1 even when packing spreads images unevenly across rows
+            losses["pixel_loss"] = losses["pixel_loss"] * pixel_weight
+        if token_weight is not None:
+            # same re-weighting for the per-token means (share of valid tokens)
+            for k in _TOKEN_MEAN_LOSSES:
+                if k in losses:
+                    losses[k] = losses[k] * token_weight
         new_vq_stats = losses.pop("vq_stats", None)
         vq_z = losses.pop("vq_z", None)
         total = weighted_total(losses, loss_weights, warmup_dict, step.astype(jnp.float32))
@@ -188,11 +207,14 @@ def make_train_step(
             surgery_mask = ~batch.key_pad_mask
         else:
             # micro-batch over the leading (row) axis with a scan: grads are
-            # averaged; VQ EMA stats thread micro->micro (the reference's
-            # accumulate wraps the whole step, so its EMA buffers also update
-            # on every micro-batch forward, main.py:186,221); the pixel loss
-            # maps each micro-batch's rows onto its GLOBAL image slots so
-            # grid_sizes (built once for the full batch) stay aligned.
+            # averaged, with per-token/per-image loss means re-weighted by
+            # each micro's token/image share so accum=K reproduces accum=1
+            # even under uneven packing; VQ EMA stats thread micro->micro
+            # (the reference's accumulate wraps the whole step, so its EMA
+            # buffers also update on every micro-batch forward,
+            # main.py:186,221); the pixel loss maps each micro-batch's rows
+            # onto its GLOBAL image slots so grid_sizes (built once for the
+            # full batch) stay aligned.
             b = batch.patches.shape[0]
             assert b % accum_steps == 0, (
                 f"batch rows ({b}) must divide grad_accumulation_steps "
@@ -205,21 +227,38 @@ def make_train_step(
 
                 g_offsets, n_per_row = row_image_layout(batch)
                 max_images = grid_sizes.shape[0]
+                # images the pixel loss can actually average (slots beyond
+                # max_images are dropped by make_grid_sizes)
+                total_images = jnp.minimum(n_per_row.sum(), max_images).astype(
+                    jnp.float32
+                )
+            tokens_per_row = (~batch.key_pad_mask).sum(axis=1).astype(jnp.float32)
+            total_tokens = tokens_per_row.sum()
 
             def micro(i, vqs):
                 sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * mb, mb, axis=0)
                 micro_batch = jax.tree_util.tree_map(sl, batch)
                 rng_i = jax.random.fold_in(rng, i) if rng is not None else None
-                pixel_rows = None
+                tok_i = jax.lax.dynamic_slice_in_dim(tokens_per_row, i * mb, mb).sum()
+                token_weight = tok_i * accum_steps / jnp.maximum(total_tokens, 1.0)
+                pixel_rows, pixel_weight = None, None
                 if use_pixel_loss:
                     row_off = jax.lax.dynamic_slice_in_dim(g_offsets, i * mb, mb)
                     counts = jax.lax.dynamic_slice_in_dim(n_per_row, i * mb, mb)
                     start, count = row_off[0], counts.sum()
                     slots = jnp.arange(max_images)
-                    pixel_rows = (row_off, (slots >= start) & (slots < start + count))
+                    slot_mask = (slots >= start) & (slots < start + count)
+                    pixel_rows = (row_off, slot_mask)
+                    # n_i*K/N so the uniform micro average equals the
+                    # whole-batch per-image mean (n_i = slots this micro owns
+                    # inside the max_images window)
+                    n_i = slot_mask.sum().astype(jnp.float32)
+                    pixel_weight = (
+                        n_i * accum_steps / jnp.maximum(total_images, 1.0)
+                    )
                 return jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params, vqs, patchnorm, micro_batch, state.step,
-                    rng_i, grid_sizes, pixel_rows,
+                    rng_i, grid_sizes, pixel_rows, pixel_weight, token_weight,
                 )
 
             def body(carry, i):
@@ -331,8 +370,23 @@ def _vq_codebook_surgery(
         if kmeans_init:
 
             def do_init(s):
-                emb = kmeans_init_from_batch(s["embed"], vq_z, mask, rng_k)
-                return dict(s, embed=emb, embed_avg=emb.astype(s["embed_avg"].dtype))
+                # reference init_embed_ invariant (vector_quantize.py:336-339):
+                # cluster_size = kmeans bins and embed_avg = embed * bins, so
+                # that embed == embed_avg / smoothed(cluster_size) holds from
+                # the very first EMA update
+                emb, bins = kmeans_init_from_batch(
+                    s["embed"], vq_z, mask, rng_k, return_bins=True
+                )
+                out = dict(
+                    s,
+                    embed=emb,
+                    embed_avg=(emb * bins[..., None]).astype(s["embed_avg"].dtype),
+                )
+                if "ema_cluster_size" in s:
+                    out["ema_cluster_size"] = bins.astype(s["ema_cluster_size"].dtype)
+                if "cluster_size" in s:
+                    out["cluster_size"] = bins.astype(s["cluster_size"].dtype)
+                return out
 
             stats = jax.lax.cond(step == 0, do_init, lambda s: dict(s), stats)
         if expire_threshold > 0 and expire_every > 0 and "cluster_size" in stats:
@@ -604,8 +658,11 @@ def train(
             # pad AFTER stripping: the (b,1,s,s) attn_mask would otherwise be
             # row-padded (a multi-MB copy per step) just to be discarded.
             # Padding rows are fully masked, so grid_sizes (built pre-pad)
-            # stay aligned — pads add rows, not images.
-            batch = pad_batch_rows(batch, n_data)
+            # stay aligned — pads add rows, not images.  Rows must divide
+            # BOTH the data axis and the micro-batch count, hence the lcm.
+            batch = pad_batch_rows(
+                batch, math.lcm(n_data, grad_accumulation_steps)
+            )
             state, metrics = jitted(state, model.patchnorm, batch, grid_sizes)
 
             if i % log_every == 0:

@@ -106,6 +106,34 @@ def test_pipeline_shape_bucketing():
     for a, b in zip(out_a, out_b):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    # size metadata must not key ANY of the jitted programs: encode/decode of
+    # a different size combo that packs/buckets to the same device shapes
+    # must reuse the compiled programs (the serving recompile trap)
+    sizes_before = {
+        k: f._cache_size()
+        for k, f in padded.model._jit_cache.items()
+        if hasattr(f, "_cache_size")
+    }
+    ims2 = [
+        rng.uniform(0.1, 0.9, size=(3, 48, 32)).astype(np.float32),
+        rng.uniform(0.1, 0.9, size=(3, 32, 48)).astype(np.float32),
+        rng.uniform(0.1, 0.9, size=(3, 32, 32)).astype(np.float32),
+    ]
+    rec_c = padded.encode(ims2)
+    padded.decode(rec_c)
+    rec_d = padded.encode(ims2[::-1])  # same shapes, different aux order
+    padded.decode(rec_d[::-1])
+    sizes_after = {
+        k: f._cache_size()
+        for k, f in padded.model._jit_cache.items()
+        if hasattr(f, "_cache_size")
+    }
+    for k in sizes_before:
+        grew = sizes_after[k] - sizes_before[k]
+        # allow ONE new entry per program for the genuinely-new padded device
+        # shape of ims2's packing; the reversed-order pass must add nothing
+        assert grew <= 1, (k, sizes_before[k], sizes_after[k])
+
 
 def test_reconstruct_direct_matches():
     """The fused 3-dispatch reconstruct equals the token-roundtrip one, and

@@ -138,6 +138,60 @@ def test_grad_accumulation_with_pixel_loss_matches():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_grad_accumulation_pixel_loss_uneven_images_per_row():
+    """Accum equivalence must hold when packing spreads images UNEVENLY over
+    rows (here 5 mixed-size images -> rows owning [1, 2, 1, 1] images, so
+    accum=2 micro-batches own 3 and 2 images): the per-micro pixel means are
+    re-weighted by image count inside the step (train/loop.py)."""
+    import optax
+
+    from dct_autoencoder_tpu.train.loop import prepare_train_batch
+
+    cfg = tiny_config()
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(0)
+    ims = [
+        rng.uniform(0.1, 0.9, size=(3, s, s)).astype(np.float32)
+        for s in (32, 16, 16, 32, 16)
+    ]
+    ds = [proc.preprocess(im) for im in ims]
+    cols = {k: [d[k] for d in ds] for k in ds[0]}
+    batch = next(proc.iter_batches(iter([cols]), batch_size=None))
+    assert batch.patches.shape[0] == 4
+    # confirm the packing is actually uneven across the accum=2 split
+    ids = np.asarray(batch.batched_image_ids)
+    valid = ~np.asarray(batch.key_pad_mask)
+    per_row = [len(set(ids[r][valid[r]].tolist())) for r in range(4)]
+    assert sum(per_row[:2]) != sum(per_row[2:]), per_row
+
+    model.patchnorm, _ = calibrate_patchnorm_batch(model.patchnorm, batch)
+    sb, gs = prepare_train_batch(batch, pixel_loss_max_images=8, clip_grid=(8, 8))
+    weights = dict(entropy_loss=0.0, pixel_loss=1.0)
+    tx = optax.sgd(1e-2)
+
+    outs = {}
+    for accum in (1, 2):
+        step = jax.jit(
+            make_train_step(
+                model.module, tx, loss_weights=weights, accum_steps=accum,
+                use_pixel_loss=True,
+            )
+        )
+        s = TrainState.create(model.params, tx)
+        s, m = step(s, model.patchnorm, sb, gs)
+        outs[accum] = (s, m)
+
+    m1, m2 = outs[1][1], outs[2][1]
+    np.testing.assert_allclose(
+        float(m1["pixel_loss"]), float(m2["pixel_loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    p1 = jax.tree_util.tree_leaves(outs[1][0].params)
+    p2 = jax.tree_util.tree_leaves(outs[2][0].params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_train_patch_norm_phase():
     model, proc, _ = setup_model()
     rng = np.random.default_rng(1)

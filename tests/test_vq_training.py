@@ -181,6 +181,46 @@ def test_ema_mode_dead_code_expiry_in_train_step():
     np.testing.assert_allclose(np.asarray(out["batch_mean"]), 0.0)
 
 
+def test_ema_mode_kmeans_init_seeds_ema_buffers():
+    """EMA-mode kmeans init must satisfy the reference init_embed_ invariant
+    (vector_quantize.py:336-339): cluster sizes = kmeans assignment bins and
+    embed_avg = embed * bins, so embed == embed_avg / cluster from the first
+    EMA update (previously embed_avg was seeded with the raw centroids and
+    cluster at 0, blowing up rarely-assigned codes ~5x after one update)."""
+    from dct_autoencoder_tpu.train.loop import _vq_codebook_surgery
+
+    rng = np.random.default_rng(5)
+    z = jnp.asarray(rng.standard_normal((2, 32, 2, 8)).astype(np.float32))
+    mask = jnp.ones((2, 32), dtype=bool)
+    stats = {
+        "vq_model": {
+            "embed": jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32)),
+            "embed_avg": jnp.zeros((2, 16, 8)),
+            "ema_cluster_size": jnp.zeros((2, 16)),
+            "cluster_size": jnp.zeros((2, 16)),
+        }
+    }
+    params = {"other": {}}  # no vq_model.codebook -> EMA-codebook branch
+    _, new_stats, _ = jax.jit(
+        lambda p, s: _vq_codebook_surgery(
+            p, s, None, z, mask, jnp.zeros((), jnp.int32), jax.random.PRNGKey(0),
+            kmeans_init=True, expire_threshold=0.0, expire_every=0,
+        )
+    )(params, stats)
+    s = new_stats["vq_model"]
+    emb = np.asarray(s["embed"])
+    avg = np.asarray(s["embed_avg"])
+    bins = np.asarray(s["cluster_size"])
+    assert bins.sum() > 0 and (bins >= 0).all()
+    np.testing.assert_allclose(np.asarray(s["ema_cluster_size"]), bins, rtol=1e-6)
+    np.testing.assert_allclose(avg, emb * bins[..., None], atol=1e-5)
+    # invariant: embed reproducible from the seeded buffers where assigned
+    nz = bins > 0
+    np.testing.assert_allclose(
+        avg[nz] / bins[nz][:, None], emb[nz], rtol=1e-4, atol=1e-5
+    )
+
+
 def test_vq_train_step_reduces_loss():
     model, proc, batch = setup_vq()
     from dct_autoencoder_tpu.train.loop import prepare_train_batch
