@@ -54,6 +54,7 @@ class DCTPipeline:
         self.pad_rows_to = pad_rows_to
         self.pad_tokens_to = pad_tokens_to
         self._fused_roundtrip = None
+        self._fused_reconstruct_cache = {}
         self._mesh = None
         self._dp_forward = None
         if data_parallel:
@@ -213,36 +214,31 @@ class DCTPipeline:
         """encode + decode in one step (keeps original image order)."""
         return self.decode(self.encode(images))
 
-    def reconstruct_direct(self, images: Sequence[np.ndarray]) -> List[np.ndarray]:
+    def reconstruct_direct(
+        self, images: Sequence[np.ndarray], as_uint8: bool = False
+    ) -> List[np.ndarray]:
         """Latency-path reconstruct: no token-record roundtrip.
 
-        normalize -> forward (quantize + decode) -> inverse-normalize fuse
-        into ONE jitted program and reconstructions come straight out of
-        postprocess — 3 device dispatches per call (preprocess, roundtrip,
-        postprocess) instead of reconstruct()'s ~6, and no host pull of the
-        token stream.  Semantically identical to reconstruct() — the forward
-        decodes from the same quantized codes, they are just not serialized —
-        and exact to 1e-5 on CPU (tests/test_serve.py::
-        test_reconstruct_direct_matches).  On TPU the two paths compile as
-        different programs, so bf16 fusion order differs and agreement is at
-        rounding level (>40 dB PSNR between paths at 448px, measured).  Used
-        by the serving daemon's /reconstruct endpoint.
+        Uniform-size groups (THE serving case — clients resize to a bucket)
+        run normalize -> forward (quantize + decode) -> inverse-normalize ->
+        in-jit scatter-unpatch -> IDCT -> RGB as ONE jitted program: 2 device
+        dispatches per call (preprocess, everything-else) vs reconstruct()'s
+        ~6, no host pull of the token stream OR the patch tensor, and with
+        as_uint8=True the only device->host transfer is the final uint8
+        image (4x smaller than f32 — the serving daemon's binary codec emits
+        uint8 anyway).  Mixed-size groups fall back to a 3-dispatch path
+        (fused roundtrip + host unpatch + per-size postprocess).
+
+        Semantically identical to reconstruct() — the forward decodes from
+        the same quantized codes, they are just not serialized — and exact to
+        1e-5 on CPU (tests/test_serve.py::test_reconstruct_direct_matches).
+        On TPU the paths compile as different programs, so bf16 fusion order
+        differs and agreement is at rounding level (>40 dB PSNR between
+        paths at 448px, measured).  Used by the daemon's /reconstruct.
         """
         import jax
 
         from .models.patchnorm import apply_patchnorm, inverse_patchnorm
-
-        if self._fused_roundtrip is None:
-            module = self.model.module
-
-            def fn(params, vq_stats, patchnorm, batch):
-                normalized = batch.replace(patches=apply_patchnorm(patchnorm, batch))
-                out = module.apply(
-                    {"params": params, "vq_stats": vq_stats}, normalized, training=False
-                )
-                return inverse_patchnorm(patchnorm, out["dct_patches"])
-
-            self._fused_roundtrip = jax.jit(fn)
 
         ds = self.processor.preprocess_many(images)
         cols = {k: [d[k] for d in ds] for k in ds[0]}
@@ -254,8 +250,8 @@ class DCTPipeline:
             # patch_sizes/original_sizes/_data are static pytree aux: left on
             # the batch they'd key the jit cache and recompile the program for
             # every distinct image-size combination (same trap as
-            # train.loop.prepare_train_batch).  Strip them; postprocess gets
-            # them back via `meta` below.
+            # train.loop.prepare_train_batch).  Strip them; the fused path
+            # bakes them in as static ints, the fallback re-attaches `meta`.
             dev = batch.replace(
                 attn_mask=None, patch_sizes=(), original_sizes=(), _data=None
             )
@@ -263,11 +259,114 @@ class DCTPipeline:
                 from .parallel.mesh import pad_batch_rows
 
                 dev = pad_batch_rows(dev, self.pad_rows_to)
+
+            n_images = len(meta["patch_sizes"])
+            if (
+                len(set(meta["patch_sizes"])) == 1
+                and len(set(meta["original_sizes"])) == 1
+            ):
+                # bucket the canvas slot count to the next power of two: the
+                # slot count is a STATIC dim of the fused program, and a
+                # micro-batching daemon sees every group size 1..max_batch —
+                # unbucketed that is one straggler compile per size (empty
+                # slots cost only the IDCT of a zero canvas + a slightly
+                # larger pull, and the host slices them off)
+                bucket = 1 << (n_images - 1).bit_length()
+                fn = self._fused_reconstruct_fn(
+                    meta["patch_sizes"][0], meta["original_sizes"][0],
+                    bucket, as_uint8,
+                )
+                imgs = np.asarray(
+                    fn(self.model.params, self.model.vq_stats,
+                       self.model.patchnorm, dev)
+                )
+                outs.extend(imgs[i] for i in range(n_images))
+                continue
+
+            # mixed sizes: fused roundtrip + host unpatch + postprocess
+            if self._fused_roundtrip is None:
+                module = self.model.module
+
+                def roundtrip(params, vq_stats, patchnorm, b):
+                    normalized = b.replace(patches=apply_patchnorm(patchnorm, b))
+                    out = module.apply(
+                        {"params": params, "vq_stats": vq_stats},
+                        normalized, training=False,
+                    )
+                    return inverse_patchnorm(patchnorm, out["dct_patches"])
+
+                self._fused_roundtrip = jax.jit(roundtrip)
             patches = self._fused_roundtrip(
                 self.model.params, self.model.vq_stats, self.model.patchnorm, dev
             )
             rec = dev.replace(patches=patches, **meta)
-            outs.extend(
-                np.clip(im, 0.0, 1.0) for im in self.processor.postprocess(rec)
-            )
+            for im in self.processor.postprocess(rec):
+                im = np.clip(im, 0.0, 1.0)
+                if as_uint8:
+                    im = (im * 255.0 + 0.5).astype(np.uint8)
+                outs.append(im)
         return outs
+
+    def _fused_reconstruct_fn(self, grid, orig, max_images: int, as_uint8: bool):
+        """One jitted program: normalize -> forward -> inv-normalize ->
+        scatter-unpatch -> (pad+)IDCT -> IPT->RGB [-> uint8] for a uniform
+        (grid, original_size) group with `max_images` canvas slots (callers
+        bucket the slot count).  Cached per (grid, orig, max_images,
+        as_uint8) — with client-side size bucketing + pow2 slot buckets that
+        is a small, bounded program set."""
+        key = (tuple(grid), tuple(orig), max_images, as_uint8)
+        if key in self._fused_reconstruct_cache:
+            return self._fused_reconstruct_cache[key]
+        import jax
+        import jax.numpy as jnp
+
+        from .models.patchnorm import apply_patchnorm, inverse_patchnorm
+        from .ops.colorspace import ipt_to_rgb
+        from .ops.dct import idct2
+        from .train.pixel_loss import row_image_layout, unpatch_to_planes
+
+        module = self.model.module
+        p = self.processor.patch_size
+        c = self.processor.channels
+        (ph, pw), (h, w) = key[0], key[1]
+        assert ph * p <= h and pw * p <= w, (grid, orig, p)
+        use_fused_kernel = self.processor._use_fused_pallas(h, w)
+
+        def fn(params, vq_stats, patchnorm, b):
+            normalized = b.replace(patches=apply_patchnorm(patchnorm, b))
+            out = module.apply(
+                {"params": params, "vq_stats": vq_stats}, normalized, training=False
+            )
+            patches = inverse_patchnorm(patchnorm, out["dct_patches"])
+            offsets, _ = row_image_layout(b)
+            planes = unpatch_to_planes(
+                patches, b, offsets, (ph, pw), p, c, max_images
+            )
+            if use_fused_kernel:
+                from .kernels.idct_unpatchify import fused_idct_unpatchify_rgb
+
+                rgb = fused_idct_unpatchify_rgb(planes, h, w)
+            else:
+                canvas = jnp.zeros((max_images, c, h, w), jnp.float32)
+                canvas = canvas.at[:, :, : ph * p, : pw * p].set(planes)
+                rgb = ipt_to_rgb(idct2(canvas))
+            rgb = jnp.clip(rgb, 0.0, 1.0)
+            if as_uint8:
+                rgb = (rgb * 255.0 + 0.5).astype(jnp.uint8)
+            return rgb
+
+        if self._mesh is not None:
+            # data-parallel serving: packed rows ride the data axis, images
+            # come back replicated (XLA inserts the gather after the scatter)
+            from .parallel.mesh import batch_sharding, replicated
+
+            rep = replicated(self._mesh)
+            jitted = jax.jit(
+                fn,
+                in_shardings=(rep, rep, rep, batch_sharding(self._mesh)),
+                out_shardings=rep,
+            )
+        else:
+            jitted = jax.jit(fn)
+        self._fused_reconstruct_cache[key] = jitted
+        return self._fused_reconstruct_cache[key]

@@ -142,10 +142,12 @@ class BatchingServer:
                 r.result = im  # np array; the HTTP layer picks the codec
         elif kind == "reconstruct":
             images = [np.asarray(r.payload, dtype=np.float32) for r in reqs]
-            # the fused 3-dispatch path (no token-record roundtrip); falls
-            # back to encode->decode for pipelines without it (tests stubs)
-            fn = getattr(self.pipeline, "reconstruct_direct", self.pipeline.reconstruct)
-            outs = fn(images)
+            # the fused path (2 dispatches for a uniform-size group, no host
+            # pull of tokens/patches; uint8 straight off the device — 4x less
+            # result transfer, and the binary codec emits uint8 anyway);
+            # falls back to encode->decode for pipelines without it (stubs)
+            fn = getattr(self.pipeline, "reconstruct_direct", None)
+            outs = fn(images, as_uint8=True) if fn else self.pipeline.reconstruct(images)
             for r, im in zip(reqs, outs):
                 r.result = im
         else:
@@ -167,11 +169,13 @@ def _decode_npy_image(raw: bytes) -> np.ndarray:
 
 
 def _encode_npy_image(im: np.ndarray) -> bytes:
-    """(c, h, w) float image in [0,1] -> npy uint8 bytes."""
+    """(c, h, w) float image in [0,1] (or already-uint8) -> npy uint8 bytes."""
     import io
 
     buf = io.BytesIO()
-    np.save(buf, (np.clip(im, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8))
+    if im.dtype != np.uint8:
+        im = (np.clip(im, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    np.save(buf, im)
     return buf.getvalue()
 
 
@@ -230,7 +234,10 @@ def make_handler(server: BatchingServer):
                     if binary_out:
                         self._npy(200, np.asarray(result))
                         return
-                    result = {"image": np.asarray(result).tolist()}
+                    arr = np.asarray(result)
+                    if arr.dtype == np.uint8:  # fused uint8 reconstruct path
+                        arr = arr.astype(np.float32) / 255.0
+                    result = {"image": arr.tolist()}
                 self._json(200, result)
             except Exception as e:
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})

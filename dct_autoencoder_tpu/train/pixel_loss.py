@@ -25,7 +25,7 @@ from ..ops.dct import idct2
 from ..patches.container import DCTPatches
 
 
-def unpatch_to_images(
+def unpatch_to_planes(
     patches: jnp.ndarray,  # (b, s, p*p) decoded DCT patch tokens
     batch: DCTPatches,
     row_offsets: jnp.ndarray,  # (b,) global image-index offset per row
@@ -34,8 +34,10 @@ def unpatch_to_images(
     channels: int,
     max_images: int,
 ) -> jnp.ndarray:
-    """Scatter packed tokens onto per-image pixel canvases; returns
-    (max_images, c, ph*p, pw*p) RGB images (unused slots are zeros)."""
+    """Scatter packed tokens onto per-image DCT planes, wholly inside jit;
+    returns (max_images, c, ph*p, pw*p) planes (unused slots are zeros).
+    The in-jit counterpart of extractor.revert_patching — also used by the
+    serving pipeline's fused reconstruct path."""
     ph, pw = grid
     p = patch_size
     c = channels
@@ -52,8 +54,24 @@ def unpatch_to_images(
         patches.reshape(-1, pz).astype(jnp.float32)
     )
     canvas = canvas[:-1].reshape(max_images, c, ph, pw, p, p)
-    dct_planes = canvas.transpose(0, 1, 2, 4, 3, 5).reshape(max_images, c, ph * p, pw * p)
-    return ipt_to_rgb(idct2(dct_planes))
+    return canvas.transpose(0, 1, 2, 4, 3, 5).reshape(max_images, c, ph * p, pw * p)
+
+
+def unpatch_to_images(
+    patches: jnp.ndarray,
+    batch: DCTPatches,
+    row_offsets: jnp.ndarray,
+    grid: Tuple[int, int],
+    patch_size: int,
+    channels: int,
+    max_images: int,
+) -> jnp.ndarray:
+    """Scatter packed tokens onto per-image pixel canvases; returns
+    (max_images, c, ph*p, pw*p) RGB images (unused slots are zeros)."""
+    planes = unpatch_to_planes(
+        patches, batch, row_offsets, grid, patch_size, channels, max_images
+    )
+    return ipt_to_rgb(idct2(planes))
 
 
 def pixel_loss(

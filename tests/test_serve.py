@@ -143,10 +143,21 @@ def test_reconstruct_direct_matches():
     rng = np.random.default_rng(4)
     ims = [rng.uniform(0.1, 0.9, size=(3, 32, 32)).astype(np.float32) for _ in range(3)]
     a = pipe.reconstruct(ims)
-    b = pipe.reconstruct_direct(ims)
+    b = pipe.reconstruct_direct(ims)  # uniform sizes -> fully-fused 2-dispatch path
     assert len(a) == len(b) == 3
     for x, y in zip(a, b):
         np.testing.assert_allclose(x, y, atol=1e-5)
+
+    # uint8 device output (what the daemon serves) matches host quantization
+    u = pipe.reconstruct_direct(ims, as_uint8=True)
+    for x, y in zip(b, u):
+        assert y.dtype == np.uint8
+        np.testing.assert_array_equal(
+            (np.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8), y
+        )
+    # repeated uniform calls share one cached program per (grid, size, n)
+    pipe.reconstruct_direct(ims)
+    assert len(pipe._fused_reconstruct_cache) == 2  # float + uint8 variants
 
     # different original sizes, same packed device shapes (pad_rows_to bucket):
     # must hit the SAME compiled program — patch_sizes/original_sizes are
@@ -168,6 +179,23 @@ def test_reconstruct_direct_matches():
         for x, y in zip(c2, b2[::-1]):
             np.testing.assert_allclose(x, y, atol=1e-5)
         assert fn._cache_size() == before, (before, fn._cache_size())
+
+
+def test_reconstruct_direct_data_parallel_matches():
+    """The fused reconstruct path composes with data-parallel serving: rows
+    sharded over the 8-device mesh, images identical to the unsharded path."""
+    base = make_pipe()
+    plain = DCTPipeline(base.model, base.processor, pad_rows_to=8)
+    dp = DCTPipeline(
+        base.model, base.processor, pad_rows_to=8, data_parallel=True
+    )
+    assert dp._mesh is not None
+    rng = np.random.default_rng(6)
+    ims = [rng.uniform(0.1, 0.9, size=(3, 32, 32)).astype(np.float32) for _ in range(3)]
+    a = plain.reconstruct_direct(ims)
+    b = dp.reconstruct_direct(ims)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=1e-5)
 
 
 def test_http_binary_codec():
