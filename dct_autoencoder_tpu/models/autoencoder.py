@@ -41,6 +41,9 @@ from .vq import VectorQuantize
 class DCTAutoencoderModule(nn.Module):
     config: DCTAutoencoderConfig
     dtype: jnp.dtype = jnp.float32
+    # GPipe pipeline parallelism for both transformer stacks
+    # (parallel.pipeline.PipelineSpec; None = sequential stacks)
+    pipeline: Optional[Any] = None
 
     def setup(self):
         cfg = self.config
@@ -71,8 +74,12 @@ class DCTAutoencoderModule(nn.Module):
         self.patch_embed_linear = nn.Dense(feature_dim, use_bias=False, dtype=self.dtype)
         self.patch_embed_norm = nn.LayerNorm(epsilon=1e-4, dtype=self.dtype)
 
-        self.encoder = TransformerEncoder(cfg.encoder_config, dtype=self.dtype)
-        self.decoder = TransformerEncoder(cfg.decoder_config, dtype=self.dtype)
+        self.encoder = TransformerEncoder(
+            cfg.encoder_config, dtype=self.dtype, pipeline=self.pipeline
+        )
+        self.decoder = TransformerEncoder(
+            cfg.decoder_config, dtype=self.dtype, pipeline=self.pipeline
+        )
 
         if cfg.vq_type == "lfq":
             self.vq_model = LFQ(

@@ -27,6 +27,14 @@ class TransformerConfig:
     # rematerialize each layer in the backward pass (jax.checkpoint): trades
     # ~30% more FLOPs for activation memory ~ O(layers) -> O(1)
     remat: bool = False
+    # Megatron-style sequence parallelism: under a (data, model) mesh with
+    # tensor parallelism, shard the residual stream's TOKEN axis over the
+    # model axis between blocks, so layernorms/residual adds/dropout run on
+    # s/tp tokens per chip and the TP all-reduce pair becomes
+    # reduce-scatter + all-gather (same bytes, 1/tp activation memory).
+    # Expressed as sharding constraints (models/transformer.py); XLA SPMD
+    # inserts the collectives. Requires an active (data, model) mesh context.
+    sequence_parallel: bool = False
     # int8 serving: build Int8Dense (dynamic per-token activation quant +
     # per-channel int8 weights on the int8 MXU path) instead of nn.Dense.
     # Use models/quant.quantize_model_for_serving to convert a trained model.

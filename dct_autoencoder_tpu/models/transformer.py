@@ -195,35 +195,59 @@ class EncoderLayer(nn.Module):
         act = _ACTS[cfg.hidden_act]
         ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name=name)
 
-        residual = x
-        x = ln("layer_norm1")(x)
+        # Megatron-SP (config.sequence_parallel): layernorms, residual adds
+        # and the MLP activation run with the token axis sharded over the
+        # model axis; attention and the TP matmul blocks see the gathered
+        # sequence. XLA SPMD turns the gather/scatter pair into
+        # all-gather + reduce-scatter around each block (the classic SP
+        # collective rewrite), cutting per-chip activation memory by tp.
+        if cfg.sequence_parallel:
+            from ..parallel.mesh import sp_scatter, sp_gather
+        else:
+            sp_scatter = sp_gather = lambda t: t
+
+        residual = sp_scatter(x)
+        x = ln("layer_norm1")(residual)
         x = MultiHeadAttention(
             cfg, dtype=self.dtype, cache_size=self.cache_size, name="self_attn"
-        )(x, attn, deterministic=deterministic)
-        x = residual + x
+        )(sp_gather(x), attn, deterministic=deterministic)
+        x = residual + sp_scatter(x)
 
         residual = x
         x = ln("layer_norm2")(x)
-        x = _dense(cfg, cfg.intermediate_size, self.dtype, "fc1")(x)
+        x = _dense(cfg, cfg.intermediate_size, self.dtype, "fc1")(sp_gather(x))
         x = act(x)
         if cfg.dropout > 0.0:
             x = nn.Dropout(rate=cfg.dropout)(x, deterministic=deterministic)
         x = _dense(cfg, cfg.hidden_size, self.dtype, "fc2")(x)
-        return residual + x
+        return residual + sp_scatter(x)
 
 
 class TransformerEncoder(nn.Module):
-    """Stack of pre-LN CLIP encoder layers."""
+    """Stack of pre-LN CLIP encoder layers.
+
+    With `pipeline` set (a parallel.pipeline.PipelineSpec), the stack runs as
+    a GPipe pipeline: layers split into mesh-`model`-axis stages,
+    microbatches streamed through with ppermute hops (see
+    parallel/pipeline.py).  Params keep the plain per-layer `layers_{i}`
+    layout (checkpoints unchanged); the (L,)-stacked view is built at trace
+    time.  Requires homogeneous layers (no per-layer int8/bf16 mix) and no
+    active dropout (pipeline stages carry no per-microbatch rng stream)."""
 
     config: TransformerConfig
     dtype: jnp.dtype = jnp.float32
     # KV-cache length for token-at-a-time decode (see MultiHeadAttention)
     cache_size: int = 0
+    # GPipe pipeline parallelism (parallel.pipeline.PipelineSpec) — static
+    # hashable module attr, None = ordinary sequential stack
+    pipeline: Optional[object] = None
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, attn: AttentionContext, deterministic: bool = True
     ) -> jnp.ndarray:
+        if self.pipeline is not None and not self.is_initializing():
+            return self._pipelined(x, attn, deterministic)
         layer_cls = EncoderLayer
         if self.config.remat:
             # static_argnums: deterministic is static; AttentionContext's meta
@@ -241,6 +265,39 @@ class TransformerEncoder(nn.Module):
                 name=f"layers_{i}",
             )(x, attn, deterministic)
         return x
+
+    def _pipelined(
+        self, x: jnp.ndarray, attn: AttentionContext, deterministic: bool
+    ) -> jnp.ndarray:
+        from ..parallel.pipeline import pipeline_stack_apply, stack_layer_params
+
+        cfg = self.config
+        assert not getattr(cfg, "quantize_int8_bf16_layers", ()) or not getattr(
+            cfg, "quantize_int8", False
+        ), "pipeline requires homogeneous layers (no per-layer bf16 fallback)"
+        assert deterministic or (cfg.dropout == 0.0 and cfg.attention_dropout == 0.0), (
+            "pipelined stack does not thread dropout rngs"
+        )
+        assert self.cache_size == 0, "pipeline is a training/encode path, not KV decode"
+        stacked = stack_layer_params(
+            self.variables["params"], cfg.num_hidden_layers
+        )
+        layer = EncoderLayer(cfg, dtype=self.dtype)
+        meta = dict(mode=attn.mode, impl=attn.impl, causal=attn.causal)
+
+        def layer_apply(p, xm, ids, pad):
+            ctx = AttentionContext(image_ids=ids, key_pad_mask=pad, **meta)
+            return layer.apply({"params": p}, xm, ctx, deterministic)
+
+        return pipeline_stack_apply(
+            layer_apply,
+            stacked,
+            x,
+            attn.image_ids,
+            attn.key_pad_mask,
+            self.pipeline,
+            remat=cfg.remat,
+        )
 
 
 def make_attn_bias(attn_mask: jnp.ndarray, mode: str = "block") -> jnp.ndarray:

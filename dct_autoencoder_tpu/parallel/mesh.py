@@ -42,6 +42,38 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _ambient_mesh_has(axis: str) -> bool:
+    m = jax.sharding.get_abstract_mesh()
+    if m is None or axis not in getattr(m, "shape", {}):
+        return False
+    # inside shard_map (e.g. a pipeline stage, parallel/pipeline.py) the
+    # axis is Manual and constraints are illegal AND meaningless — the model
+    # axis is already consumed by the stages; constrain only Auto axes
+    types = dict(zip(m.axis_names, m.axis_types))
+    return types[axis] == jax.sharding.AxisType.Auto
+
+
+def sp_scatter(x):
+    """Sequence-parallel residual-stream constraint: (rows, tokens, d) with
+    the TOKEN axis sharded over the model axis (Megatron-SP). Active only
+    under a `jax.set_mesh(mesh)` context whose mesh has the model axis
+    (sharding constraints are placement hints — with no mesh the identity is
+    the same program, so eval/export paths need no special-casing); XLA SPMD
+    lowers the scatter/gather pair around each TP block to
+    reduce-scatter + all-gather."""
+    if not _ambient_mesh_has(MODEL_AXIS):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(DATA_AXIS, MODEL_AXIS, None))
+
+
+def sp_gather(x):
+    """Gather the token axis back to full length for attention / TP matmuls
+    (the all-gather half of the SP collective pair)."""
+    if not _ambient_mesh_has(MODEL_AXIS):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(DATA_AXIS, None, None))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (packed-row) axis of every DCTPatches leaf over data."""
     return NamedSharding(mesh, P(DATA_AXIS))

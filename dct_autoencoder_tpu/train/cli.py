@@ -52,6 +52,12 @@ def main(
     profile_dir: str = None,
     grad_accumulation_steps: int = 1,
     n_model_parallel: int = 1,
+    # GPipe pipeline parallelism: microbatches streamed through
+    # n_model_parallel layer stages (parallel/pipeline.py; 0 = off)
+    pipeline_microbatches: int = 0,
+    # Megatron-style sequence parallelism: shard the residual stream's token
+    # axis over the model axis between TP blocks (models/config.py)
+    sequence_parallel: bool = False,
     # ZeRO-1: shard optimizer moments over the data axis (train/loop.py)
     zero1: bool = False,
     rec_loss_unnormalized: float = 1.0,
@@ -81,6 +87,18 @@ def main(
     import jax.numpy as jnp
 
     model_config = DCTAutoencoderConfig.from_json_file(model_config_path)
+    if sequence_parallel:
+        import dataclasses
+
+        model_config = dataclasses.replace(
+            model_config,
+            encoder_config=dataclasses.replace(
+                model_config.encoder_config, sequence_parallel=True
+            ),
+            decoder_config=dataclasses.replace(
+                model_config.decoder_config, sequence_parallel=True
+            ),
+        )
     loss_weights = dict(
         rec_loss=rec_loss,
         rec_loss_unnormalized=rec_loss_unnormalized,
@@ -168,6 +186,7 @@ def main(
         grad_accumulation_steps=grad_accumulation_steps,
         loss_weights=loss_weights,
         n_model_parallel=n_model_parallel,
+        pipeline_microbatches=pipeline_microbatches,
         zero1=zero1,
         use_pixel_loss=use_pixel_loss,
         pixel_loss_max_images=pixel_loss_max_images,

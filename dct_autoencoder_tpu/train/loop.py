@@ -559,6 +559,11 @@ def train(
     loss_weights: Optional[Dict[str, float]] = None,
     warmup_dict: Optional[Dict[str, int]] = None,
     n_model_parallel: int = 1,
+    # GPipe pipeline parallelism: >0 runs both transformer stacks as a
+    # pipeline over the model axis with this many microbatches per step
+    # (parallel/pipeline.py; requires n_model_parallel > 1 stages and
+    # num_hidden_layers % stages == 0)
+    pipeline_microbatches: int = 0,
     # ZeRO-1: shard optimizer moments over the data axis (each chip holds
     # 1/n_data of the Adam state; XLA inserts the reduce-scatter/all-gather).
     # Memory lever for large configs on small meshes; single-host
@@ -611,8 +616,20 @@ def train(
             log({"resumed_from": resume_path, "step": int(state.step)})
     mesh = make_mesh(n_model_parallel)
 
+    train_module = model.module
+    if pipeline_microbatches > 0:
+        from ..models.autoencoder import DCTAutoencoderModule
+        from ..parallel.pipeline import PipelineSpec
+
+        assert n_model_parallel > 1, "pipeline needs >1 stages (n_model_parallel)"
+        train_module = DCTAutoencoderModule(
+            model.module.config,
+            dtype=model.module.dtype,
+            pipeline=PipelineSpec(mesh=mesh, n_microbatches=pipeline_microbatches),
+        )
+
     step_fn = make_train_step(
-        model.module,
+        train_module,
         tx,
         loss_weights,
         warmup_dict,
@@ -626,7 +643,15 @@ def train(
     clip_grid = (model.config.max_patch_h, model.config.max_patch_w)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
-    with mesh:
+    # sequence_parallel's sharding constraints key on an ambient mesh set
+    # via jax.set_mesh (parallel/mesh.py:sp_scatter). set_mesh also makes
+    # every host->device array creation COMMITTED to the mesh (replicated),
+    # which conflicts with jit in_shardings on uncommitted args — so it is
+    # scoped to SP runs only, and SP batches are explicitly device_put below.
+    sp_on = getattr(model.config.encoder_config, "sequence_parallel", False) or getattr(
+        model.config.decoder_config, "sequence_parallel", False
+    )
+    with jax.set_mesh(mesh) if sp_on else mesh:
         if zero1:
             zsh = zero1_state_sharding(state, mesh)
             state = jax.device_put(state, zsh)
@@ -660,9 +685,18 @@ def train(
             # Padding rows are fully masked, so grid_sizes (built pre-pad)
             # stay aligned — pads add rows, not images.  Rows must divide
             # BOTH the data axis and the micro-batch count, hence the lcm.
-            batch = pad_batch_rows(
-                batch, math.lcm(n_data, grad_accumulation_steps)
-            )
+            # with pipelining each accum chunk's per-data-shard rows must
+            # further divide into pipeline microbatches
+            row_multiple = math.lcm(n_data, grad_accumulation_steps)
+            if pipeline_microbatches > 0:
+                row_multiple = (
+                    grad_accumulation_steps * n_data * pipeline_microbatches
+                )
+            batch = pad_batch_rows(batch, row_multiple)
+            if sp_on:
+                # under set_mesh, fresh host arrays commit as replicated;
+                # place them to the data sharding jit expects
+                batch = jax.device_put(batch, bsh)
             state, metrics = jitted(state, model.patchnorm, batch, grid_sizes)
 
             if i % log_every == 0:

@@ -47,17 +47,27 @@ def test_param_spec_tp_rules():
     assert pos and all(by_path[k] == P() for k in pos)
 
 
-def sharded_vs_single(n_model):
-    """Run the jitted train step sharded and compare metrics to single-device."""
+def sharded_vs_single(n_model, pipeline_microbatches=None, sequence_parallel=False):
+    """Run the jitted train step sharded and compare metrics to single-device.
+
+    pipeline_microbatches: run both transformer stacks as a GPipe pipeline
+    over the model axis (parallel/pipeline.py).  sequence_parallel: Megatron-
+    SP sharding constraints on the residual stream (models/config.py)."""
+    import dataclasses
+
     cfg = tiny_config()
+    if sequence_parallel:
+        sp = dataclasses.replace(cfg.encoder_config, sequence_parallel=True)
+        cfg = dataclasses.replace(cfg, encoder_config=sp, decoder_config=sp)
     model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
     rng = np.random.default_rng(0)
     batch = make_batch(proc, rng, n_images=8)
-    # pad rows to a multiple of the data axis
+    # pad rows to a multiple of the data axis (x microbatches for pp)
     mesh = make_mesh(n_model=n_model)
     n_data = mesh.shape["data"]
     b = batch.patches.shape[0]
-    pad_rows = (-b) % n_data
+    row_multiple = n_data * (pipeline_microbatches or 1)
+    pad_rows = (-b) % row_multiple
     if pad_rows:
         def pad(x):
             if x.ndim == 0:
@@ -71,17 +81,34 @@ def sharded_vs_single(n_model):
     tx = make_optimizer(learning_rate=1e-3, max_iters=10, warmup_steps=0)
     step_fn = make_train_step(model.module, tx)
 
-    # single device result
+    # single device result (always the plain sequential module)
     s0 = TrainState.create(model.params, tx)
     _, m_single = jax.jit(step_fn)(s0, model.patchnorm, batch)
 
-    # sharded result
-    with mesh:
+    sharded_module = model.module
+    if pipeline_microbatches:
+        from dct_autoencoder_tpu.models.autoencoder import DCTAutoencoderModule
+        from dct_autoencoder_tpu.parallel.pipeline import PipelineSpec
+
+        sharded_module = DCTAutoencoderModule(
+            model.module.config,
+            dtype=model.module.dtype,
+            pipeline=PipelineSpec(mesh=mesh, n_microbatches=pipeline_microbatches),
+        )
+    sharded_step_fn = (
+        make_train_step(sharded_module, tx) if sharded_module is not model.module
+        else step_fn
+    )
+
+    # sharded result (set_mesh provides the ambient mesh SP constraints key on)
+    sharded_ctx = jax.set_mesh(mesh) if sequence_parallel else mesh
+    with sharded_ctx:
         params = shard_params(model.params, mesh, tensor_parallel=n_model > 1)
         state = TrainState.create(params, tx)
         sharded_batch = shard_batch(batch, mesh)
         jitted = jax.jit(
-            step_fn, in_shardings=(None, replicated(mesh), batch_sharding(mesh))
+            sharded_step_fn,
+            in_shardings=(None, replicated(mesh), batch_sharding(mesh)),
         )
         new_state, m_sharded = jitted(state, model.patchnorm, sharded_batch)
 
@@ -108,6 +135,94 @@ def test_tensor_parallel_step_matches_single_device():
     assert any(
         "model" in str(getattr(v, "sharding", "")) for v in sharded_leaves
     )
+
+
+def test_pipeline_parallel_step_matches_single_device():
+    """GPipe pipeline over the model axis (2 stages x 2 microbatches)
+    reproduces the sequential-stack train step (loss + grad norm)."""
+    sharded_vs_single(n_model=2, pipeline_microbatches=2)
+
+
+def test_sequence_parallel_step_matches_single_device():
+    """Megatron-SP sharding constraints are semantics-preserving under
+    dp4 x tp2 (jax.set_mesh in the helper's sharded block activates them;
+    the single-device reference traces with no mesh -> constraints no-op)."""
+    sharded_vs_single(n_model=2, sequence_parallel=True)
+
+
+def test_pipeline_stack_apply_grad_equivalence():
+    """Pure-function check of the GPipe schedule: fwd AND grads match the
+    sequential lax.scan over layers, with packing metadata riding along."""
+    from dct_autoencoder_tpu.parallel.pipeline import (
+        PipelineSpec,
+        pipeline_stack_apply,
+    )
+
+    rng = np.random.default_rng(3)
+    L, b, s, d = 4, 8, 16, 32
+    stacked = {
+        "w": jnp.asarray(rng.standard_normal((L, d, d)).astype(np.float32) * 0.2),
+        "b": jnp.asarray(rng.standard_normal((L, d)).astype(np.float32) * 0.1),
+    }
+    x = jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 3, (b, s)).astype(np.int32))
+    pad = jnp.asarray(rng.random((b, s)) < 0.2)
+
+    def layer_apply(p, xm, ids_m, pad_m):
+        # uses the metadata so the test catches metadata/activation skew
+        gate = (~pad_m)[..., None].astype(xm.dtype)
+        return jnp.tanh(xm @ p["w"] + p["b"]) * gate + ids_m[..., None] * 0.01
+
+    def seq(params, x):
+        def body(c, p):
+            return layer_apply(p, c, ids, pad), None
+
+        out, _ = jax.lax.scan(body, x, params)
+        return out
+
+    mesh = make_mesh(n_model=4)
+    spec = PipelineSpec(mesh=mesh, n_microbatches=2)
+
+    ref = seq(stacked, x)
+    with mesh:
+        out = jax.jit(
+            lambda p, x: pipeline_stack_apply(layer_apply, p, x, ids, pad, spec)
+        )(stacked, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    g_ref = jax.grad(lambda p: jnp.sum(seq(p, x) ** 2))(stacked)
+    with mesh:
+        g_pp = jax.jit(
+            jax.grad(
+                lambda p: jnp.sum(
+                    pipeline_stack_apply(layer_apply, p, x, ids, pad, spec) ** 2
+                )
+            )
+        )(stacked)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pp)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=1e-4)
+
+
+def test_pipeline_rejects_bad_shapes():
+    from dct_autoencoder_tpu.parallel.pipeline import (
+        PipelineSpec,
+        pipeline_stack_apply,
+    )
+
+    mesh = make_mesh(n_model=4)
+    spec = PipelineSpec(mesh=mesh, n_microbatches=2)
+    stacked = {"w": jnp.zeros((3, 4, 4))}  # 3 layers, 4 stages
+    x = jnp.zeros((8, 4, 4))
+    ids = jnp.zeros((8, 4), jnp.int32)
+    pad = jnp.zeros((8, 4), bool)
+    with pytest.raises(ValueError, match="stages"):
+        pipeline_stack_apply(lambda p, x, i, m: x, stacked, x, ids, pad, spec)
+    stacked = {"w": jnp.zeros((4, 4, 4))}
+    x = jnp.zeros((6, 4, 4))  # 6 rows, data x micro = 2 x 2
+    ids = jnp.zeros((6, 4), jnp.int32)
+    pad = jnp.zeros((6, 4), bool)
+    with pytest.raises(ValueError, match="divisible"):
+        pipeline_stack_apply(lambda p, x, i, m: x, stacked, x, ids, pad, spec)
 
 
 def test_zero1_opt_sharding_matches_single_device():

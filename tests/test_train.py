@@ -372,6 +372,44 @@ def test_train_loop_with_pixel_loss():
     assert px and all(np.isfinite(px)), logs
 
 
+def test_train_loop_sequence_parallel_and_pipeline():
+    """train() end-to-end with BOTH round-3 parallel axes: Megatron-SP
+    constraints (sequence_parallel config + set_mesh plumbing) and GPipe
+    pipelining (pipeline_microbatches) on the dp4 x tp2 virtual mesh."""
+    import dataclasses
+
+    from dct_autoencoder_tpu.train.loop import train
+
+    cfg = tiny_config()
+    sp = dataclasses.replace(cfg.encoder_config, sequence_parallel=True)
+    cfg = dataclasses.replace(cfg, encoder_config=sp, decoder_config=sp)
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(5)
+
+    def data_iter():
+        for _ in range(2):
+            ims = [rng.uniform(0.1, 0.9, size=(3, 32, 32)).astype(np.float32) for _ in range(4)]
+            ds = [proc.preprocess(im) for im in ims]
+            yield {k: [d[k] for d in ds] for k in ds[0]}
+
+    logs = []
+    train(
+        model,
+        proc,
+        data_iter(),
+        batch_size=None,
+        max_iters=2,
+        learning_rate=1e-4,
+        n_model_parallel=2,
+        pipeline_microbatches=2,
+        log_every=1,
+        save_every=0,
+        log=lambda d: logs.append(d) if isinstance(d, dict) else None,
+    )
+    losses = [d["loss"] for d in logs if "loss" in d]
+    assert losses and all(np.isfinite(losses)), logs
+
+
 def test_nan_policy_restore_survives_poisoned_batch(tmp_path):
     """Elastic recovery beyond the reference's abort: a batch that NaNs the
     loss rolls training back to the last checkpoint and the run completes."""
