@@ -250,3 +250,71 @@ def sample_codes_cached(
         codes = codes.at[0, t].set(nxt)
         prev = nxt[None, None]
     return codes
+
+
+def sample_codes_scan(
+    config: ARConfig,
+    params,
+    channels: jnp.ndarray,  # (1, s) target layout
+    positions: jnp.ndarray,  # (1, s, 2)
+    rng: jax.Array,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """KV-cached sampling with the WHOLE decode loop inside one compiled
+    program (`lax.scan` carrying the cache) — the TPU serving sampler.
+
+    sample_codes_cached dispatches one device program per token; behind a
+    remote-dispatch link (this environment's tunnel) or any host-bound
+    serving box, s=3072 tokens means 3072 round trips.  Here the loop is a
+    single dispatch: the per-layer KV caches, the previous token, and the rng
+    ride the scan carry, so XLA pipelines the s steps back-to-back on-device.
+    Same per-step rng stream as sample_codes_cached (split-before-step), so
+    the two produce bit-identical codes given identical inputs (tested).
+    """
+    s = channels.shape[1]
+    C = config.num_codebooks
+    model = ARTokenModel(config, decode_cache=s)
+
+    # cache structure without running anything: eval_shape over flax init
+    prev0 = jnp.zeros((1, 1, C), jnp.int32)
+    ch0 = channels[:, :1]
+    pos0 = positions[:, :1]
+    var_shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), prev0, ch0, pos0, jnp.zeros((), jnp.int32),
+            method="decode_step",
+        )
+    )
+    cache0 = jax.tree_util.tree_map(
+        lambda sd: jnp.zeros(sd.shape, sd.dtype), var_shapes["cache"]
+    )
+
+    @jax.jit
+    def run(params, cache, channels, positions, rng):
+        ch_xs = channels[0][:, None, None]  # (s, 1, 1)
+        pos_xs = positions[0][:, None, None, :]  # (s, 1, 1, 2)
+        t_xs = jnp.arange(s)
+
+        def step(carry, xs):
+            cache, prev, rng = carry
+            ch_t, pos_t, t = xs
+            rng, sub = jax.random.split(rng)
+            logits, new_vars = model.apply(
+                {"params": params, "cache": cache},
+                prev, ch_t, pos_t, t,
+                method="decode_step", mutable=["cache"],
+            )
+            lt = logits[0]  # (C, z)
+            if temperature <= 0:
+                nxt = jnp.argmax(lt, axis=-1)
+            else:
+                nxt = jax.random.categorical(sub, lt / temperature, axis=-1)
+            nxt = nxt.astype(jnp.int32)
+            return (new_vars["cache"], nxt[None, None, :], rng), nxt
+
+        (_, _, _), codes = jax.lax.scan(
+            step, (cache, prev0, rng), (ch_xs, pos_xs, t_xs)
+        )
+        return codes[None]  # (1, s, C)
+
+    return run(params, cache0, channels, positions, rng)

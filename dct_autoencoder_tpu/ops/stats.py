@@ -22,10 +22,13 @@ def masked_mean(x: jnp.ndarray, m: jnp.ndarray, dim=None) -> jnp.ndarray:
 
     Mirrors reference util.py:346-353 exactly, including its convention that
     with `dim` given, the division is still by the *total* mask count.
+    One guard beyond the reference: an all-zero mask yields 0, not 0/0 NaN —
+    grad accumulation + pipeline row padding can produce fully-padded
+    micro-batches, whose (zero-weighted) loss must stay finite.
     """
     m = m.astype(x.dtype)
     x = mult_along_first_dims(x, m)
-    x = x / jnp.sum(m)
+    x = x / jnp.maximum(jnp.sum(m), 1)
     if dim is None:
         return jnp.sum(x)
     return jnp.sum(x, axis=dim)

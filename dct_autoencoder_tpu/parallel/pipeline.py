@@ -25,7 +25,11 @@ Design notes (TPU/XLA-first):
     per-layer params (`layers_{i}`, models/transformer.py) — checkpoints,
     init, and every non-pp code path keep the plain per-layer layout.  XLA
     SPMD partitions the stacking concat so each device materializes only
-    its stage's slice.
+    its stage's slice of the STACKED view; the master per-layer params in
+    the train state stay replicated (immaterial at tokenizer scale, ~100 MB
+    — shard them with the TP rules or ZeRO-style specs if that ever binds;
+    pp here buys activation locality and point-to-point comms, not param
+    memory).
   * Attention metadata (packed image ids + pad mask, AttentionContext)
     rotates with the activations — each stage always sees the metadata of
     the microbatch it is processing.
@@ -43,8 +47,7 @@ sequential stack is tested fwd+bwd in tests/test_parallel.py.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -59,7 +59,7 @@ def main(
     import optax
     from PIL import Image
 
-    from ..models.ar import ARConfig, ARTokenModel, ar_loss, sample_codes_cached
+    from ..models.ar import ARConfig, ARTokenModel, ar_loss, sample_codes_scan
     from ..models.config import TransformerConfig
     from ..pipeline import DCTPipeline
 
@@ -137,7 +137,9 @@ def main(
     n = min(len(tmpl["codes"]), max_len)
     chans_t = jnp.asarray([[t["c"] for t in tmpl["codes"][:n]]], jnp.int32)
     poss_t = jnp.asarray([[[t["h"], t["w"]] for t in tmpl["codes"][:n]]], jnp.int32)
-    sampled = sample_codes_cached(ar_cfg, params, chans_t, poss_t, jax.random.PRNGKey(1), temperature=1.0)
+    # one-program scan sampler: a single device dispatch for the whole
+    # decode loop (models/ar.py:sample_codes_scan)
+    sampled = sample_codes_scan(ar_cfg, params, chans_t, poss_t, jax.random.PRNGKey(1), temperature=1.0)
     rec = dict(tmpl)
     rec["codes"] = [
         dict(c=int(chans_t[0, t]), h=int(poss_t[0, t, 0]), w=int(poss_t[0, t, 1]),

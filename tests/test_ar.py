@@ -143,6 +143,26 @@ def test_cached_sampling_matches_full_reforward():
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
 
 
+def test_scan_sampling_bit_identical_to_cached():
+    """The one-program scan sampler (serving path) reproduces the per-step
+    KV-cached sampler bit for bit — same rng stream, same codes."""
+    from dct_autoencoder_tpu.models.ar import sample_codes_cached, sample_codes_scan
+
+    cfg = tiny_ar()
+    model = ARTokenModel(cfg)
+    rng = np.random.default_rng(8)
+    codes, chans, poss, pad = make_data(rng, b=1, s=12)
+    params = model.init(
+        jax.random.PRNGKey(0), codes, chans, poss, pad, training=False
+    )["params"]
+
+    key = jax.random.PRNGKey(4)
+    for temp in (1.0, 0.0):
+        cached = sample_codes_cached(cfg, params, chans, poss, key, temperature=temp)
+        scanned = sample_codes_scan(cfg, params, chans, poss, key, temperature=temp)
+        np.testing.assert_array_equal(np.asarray(cached), np.asarray(scanned))
+
+
 def test_ar_packed_rows_no_cross_image_leakage():
     """In packed rows, the first token of image k>0 must take BOS as its
     input — changing EVERYTHING about image 0 must not move image 1's

@@ -375,7 +375,8 @@ def test_train_loop_with_pixel_loss():
 def test_train_loop_sequence_parallel_and_pipeline():
     """train() end-to-end with BOTH round-3 parallel axes: Megatron-SP
     constraints (sequence_parallel config + set_mesh plumbing) and GPipe
-    pipelining (pipeline_microbatches) on the dp4 x tp2 virtual mesh."""
+    pipelining (pipeline_microbatches) on the dp4 x tp2 virtual mesh,
+    composed with grad accumulation (rows pad to accum x n_data x micro)."""
     import dataclasses
 
     from dct_autoencoder_tpu.train.loop import train
@@ -402,6 +403,7 @@ def test_train_loop_sequence_parallel_and_pipeline():
         learning_rate=1e-4,
         n_model_parallel=2,
         pipeline_microbatches=2,
+        grad_accumulation_steps=2,
         log_every=1,
         save_every=0,
         log=lambda d: logs.append(d) if isinstance(d, dict) else None,
