@@ -163,6 +163,33 @@ def test_scan_sampling_bit_identical_to_cached():
         np.testing.assert_array_equal(np.asarray(cached), np.asarray(scanned))
 
 
+def test_batched_scan_sampling_matches_per_row():
+    """vmapped batched sampling: row i == the single-row scan sampler run
+    with fold_in(rng, i), bit for bit."""
+    from dct_autoencoder_tpu.models.ar import (
+        sample_codes_scan,
+        sample_codes_scan_batched,
+    )
+
+    cfg = tiny_ar()
+    model = ARTokenModel(cfg)
+    rng = np.random.default_rng(12)
+    codes, chans, poss, pad = make_data(rng, b=3, s=10)
+    params = model.init(
+        jax.random.PRNGKey(0), codes[:1], chans[:1], poss[:1], pad[:1], training=False
+    )["params"]
+
+    key = jax.random.PRNGKey(7)
+    batched = sample_codes_scan_batched(cfg, params, chans, poss, key, temperature=1.0)
+    assert batched.shape == (3, 10, cfg.num_codebooks)
+    for i in range(3):
+        single = sample_codes_scan(
+            cfg, params, chans[i : i + 1], poss[i : i + 1],
+            jax.random.fold_in(key, i), temperature=1.0,
+        )
+        np.testing.assert_array_equal(np.asarray(batched[i]), np.asarray(single[0]))
+
+
 def test_ar_packed_rows_no_cross_image_leakage():
     """In packed rows, the first token of image k>0 must take BOS as its
     input — changing EVERYTHING about image 0 must not move image 1's
