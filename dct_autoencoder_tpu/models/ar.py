@@ -252,36 +252,37 @@ def sample_codes_cached(
     return codes
 
 
-def sample_codes_scan(
-    config: ARConfig,
-    params,
-    channels: jnp.ndarray,  # (1, s) target layout
-    positions: jnp.ndarray,  # (1, s, 2)
-    rng: jax.Array,
-    temperature: float = 1.0,
-) -> jnp.ndarray:
-    """KV-cached sampling with the WHOLE decode loop inside one compiled
-    program (`lax.scan` carrying the cache) — the TPU serving sampler.
+_SCAN_RUNNERS: dict = {}
 
-    sample_codes_cached dispatches one device program per token; behind a
-    remote-dispatch link (this environment's tunnel) or any host-bound
-    serving box, s=3072 tokens means 3072 round trips.  Here the loop is a
-    single dispatch: the per-layer KV caches, the previous token, and the rng
-    ride the scan carry, so XLA pipelines the s steps back-to-back on-device.
-    Same per-step rng stream as sample_codes_cached (split-before-step), so
-    the two produce bit-identical codes given identical inputs (tested).
-    """
-    s = channels.shape[1]
+
+def _scan_runner(config: ARConfig, s: int, temperature: float, batch: int):
+    """Cached jitted decode-loop runner + initial KV cache for one
+    (config, seq_len, temperature, batch) shape.
+
+    Every call to a fresh `@jax.jit` closure retraces AND recompiles — on
+    the remote-compile TPU that is 60-240 s per *request* (CLAUDE.md: touch
+    as few distinct programs as possible).  Serving calls the sampler once
+    per request at a fixed shape, so the runner must be built once and
+    reused; this cache keys on everything that changes the program.  The
+    initial cache zeros are passed as ARGUMENTS (closing over them would
+    embed ~100 MB of constants into the HLO at s=3072 and trip the remote
+    compiler's payload limit)."""
+    key = (repr(config), s, float(temperature), batch)
+    hit = _SCAN_RUNNERS.get(key)
+    if hit is not None:
+        return hit
+
     C = config.num_codebooks
     model = ARTokenModel(config, decode_cache=s)
 
     # cache structure without running anything: eval_shape over flax init
-    prev0 = jnp.zeros((1, 1, C), jnp.int32)
-    ch0 = channels[:, :1]
-    pos0 = positions[:, :1]
     var_shapes = jax.eval_shape(
         lambda: model.init(
-            jax.random.PRNGKey(0), prev0, ch0, pos0, jnp.zeros((), jnp.int32),
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 1, C), jnp.int32),
+            jnp.zeros((1, 1), jnp.int32),
+            jnp.zeros((1, 1, 2), jnp.int32),
+            jnp.zeros((), jnp.int32),
             method="decode_step",
         )
     )
@@ -289,11 +290,12 @@ def sample_codes_scan(
         lambda sd: jnp.zeros(sd.shape, sd.dtype), var_shapes["cache"]
     )
 
-    @jax.jit
-    def run(params, cache, channels, positions, rng):
-        ch_xs = channels[0][:, None, None]  # (s, 1, 1)
-        pos_xs = positions[0][:, None, None, :]  # (s, 1, 1, 2)
+    def one_row(params, cache, channels, positions, rng):
+        """channels (s,), positions (s, 2), rng key -> codes (s, C)."""
+        ch_xs = channels[:, None, None]  # (s, 1, 1)
+        pos_xs = positions[:, None, None, :]  # (s, 1, 1, 2)
         t_xs = jnp.arange(s)
+        prev0 = jnp.zeros((1, 1, C), jnp.int32)
 
         def step(carry, xs):
             cache, prev, rng = carry
@@ -315,8 +317,50 @@ def sample_codes_scan(
         (_, _, _), codes = jax.lax.scan(
             step, (cache, prev0, rng), (ch_xs, pos_xs, t_xs)
         )
-        return codes[None]  # (1, s, C)
+        return codes  # (s, C)
 
+    if batch == 1:
+        run = jax.jit(
+            lambda params, cache, channels, positions, rng: one_row(
+                params, cache, channels[0], positions[0], rng
+            )[None]
+        )
+    else:
+        def batched(params, cache, channels, positions, rng):
+            keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+                jnp.arange(batch)
+            )
+            return jax.vmap(one_row, in_axes=(None, None, 0, 0, 0))(
+                params, cache, channels, positions, keys
+            )
+
+        run = jax.jit(batched)
+
+    _SCAN_RUNNERS[key] = (run, cache0)
+    return run, cache0
+
+
+def sample_codes_scan(
+    config: ARConfig,
+    params,
+    channels: jnp.ndarray,  # (1, s) target layout
+    positions: jnp.ndarray,  # (1, s, 2)
+    rng: jax.Array,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """KV-cached sampling with the WHOLE decode loop inside one compiled
+    program (`lax.scan` carrying the cache) — the TPU serving sampler.
+
+    sample_codes_cached dispatches one device program per token; behind a
+    remote-dispatch link (this environment's tunnel) or any host-bound
+    serving box, s=3072 tokens means 3072 round trips.  Here the loop is a
+    single dispatch: the per-layer KV caches, the previous token, and the rng
+    ride the scan carry, so XLA pipelines the s steps back-to-back on-device.
+    Same per-step rng stream as sample_codes_cached (split-before-step), so
+    the two produce bit-identical codes given identical inputs (tested).
+    The compiled runner is cached per (config, s, temperature) — repeat
+    calls at a serving shape pay zero retrace/recompile (tested)."""
+    run, cache0 = _scan_runner(config, channels.shape[1], temperature, batch=1)
     return run(params, cache0, channels, positions, rng)
 
 
@@ -339,13 +383,8 @@ def sample_codes_scan_batched(
     On TPU the batched program's bf16 fusion order differs, so logits move
     at rounding level (~1e-2 measured) and a near-tie categorical draw can
     flip (measured 1 of 256 tokens on a random-init model, on-chip) — the
-    sampled DISTRIBUTION is the same; only replay-exactness is per-program."""
-    b = channels.shape[0]
-    keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(b))
-
-    def one(ch, pos, key):
-        return sample_codes_scan(
-            config, params, ch[None], pos[None], key, temperature=temperature
-        )[0]
-
-    return jax.vmap(one, in_axes=(0, 0, 0))(channels, positions, keys)
+    sampled DISTRIBUTION is the same; only replay-exactness is per-program.
+    The compiled runner is cached per (config, s, temperature, b)."""
+    b, s = channels.shape
+    run, cache0 = _scan_runner(config, s, temperature, batch=b)
+    return run(params, cache0, channels, positions, rng)

@@ -120,3 +120,14 @@ class DCTAutoencoderConfig:
     def to_json_file(self, path: str) -> None:
         with open(path, "w") as f:
             json.dump(self.to_dict(), f, indent=2, sort_keys=True)
+
+
+def with_sequence_parallel(cfg: DCTAutoencoderConfig) -> DCTAutoencoderConfig:
+    """The config with Megatron-SP turned on for BOTH transformer stacks
+    (see TransformerConfig.sequence_parallel; one shared helper so the CLI,
+    the dryrun, and tests cannot diverge)."""
+    return dataclasses.replace(
+        cfg,
+        encoder_config=dataclasses.replace(cfg.encoder_config, sequence_parallel=True),
+        decoder_config=dataclasses.replace(cfg.decoder_config, sequence_parallel=True),
+    )

@@ -75,6 +75,19 @@ class PipelineSpec:
         return self.mesh.shape[self.axis]
 
 
+def make_pipelined_module(module: Any, mesh: Mesh, n_microbatches: int) -> Any:
+    """A DCTAutoencoderModule clone of `module` whose transformer stacks run
+    as a GPipe pipeline over `mesh`'s model axis (same params/checkpoints;
+    one shared constructor so train(), the dryrun, and tests agree)."""
+    from ..models.autoencoder import DCTAutoencoderModule
+
+    return DCTAutoencoderModule(
+        module.config,
+        dtype=module.dtype,
+        pipeline=PipelineSpec(mesh=mesh, n_microbatches=n_microbatches),
+    )
+
+
 def stack_layer_params(params: dict, num_layers: int) -> Any:
     """Stack flax per-layer param subtrees `layers_0..layers_{L-1}` on a new
     leading (L,) axis (identical layer structure required)."""

@@ -88,17 +88,9 @@ def main(
 
     model_config = DCTAutoencoderConfig.from_json_file(model_config_path)
     if sequence_parallel:
-        import dataclasses
+        from ..models.config import with_sequence_parallel
 
-        model_config = dataclasses.replace(
-            model_config,
-            encoder_config=dataclasses.replace(
-                model_config.encoder_config, sequence_parallel=True
-            ),
-            decoder_config=dataclasses.replace(
-                model_config.decoder_config, sequence_parallel=True
-            ),
-        )
+        model_config = with_sequence_parallel(model_config)
     loss_weights = dict(
         rec_loss=rec_loss,
         rec_loss_unnormalized=rec_loss_unnormalized,

@@ -14,6 +14,7 @@ TPU-native port of the reference trainer (reference: main.py:115-280):
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import math
 import time
@@ -351,10 +352,42 @@ def _vq_codebook_surgery(
 ) -> Tuple[Any, Any, Any]:
     """In-jit functional codebook surgery for VQ training (see make_train_step).
 
-    Documented deviation from the reference cadence: expire_codes_ runs every
-    forward there (vector_quantize.py:489-507); here every expire_every steps
-    (usage EMA still updates every step), and k-means init lands after step
-    0's gradient update rather than before its quantization."""
+    Guard: surgery samples replacement codes from the LAST accumulation
+    micro-batch, and pipeline/accum row padding can make that chunk 100%
+    padding — sampling from zero valid tokens would silently fill dead (or
+    at k-means init, ALL) codebook rows with identical garbage projections.
+    With no valid token in the window the surgery no-ops (`lax.cond` on
+    mask.any()): expiry retries at its next cadence step; a skipped step-0
+    k-means leaves the random init (the reference's kmeans_init=False
+    behavior) — batches with >= accum x dp x microbatch real rows never
+    hit this."""
+    return jax.lax.cond(
+        mask.any(),
+        lambda ops: _vq_codebook_surgery_impl(
+            ops[0], ops[1], ops[2], vq_z, mask, step, rng,
+            kmeans_init, expire_threshold, expire_every,
+        ),
+        lambda ops: ops,
+        (params, vq_stats, opt_state),
+    )
+
+
+def _vq_codebook_surgery_impl(
+    params: Any,
+    vq_stats: Any,
+    opt_state: Any,
+    vq_z: jnp.ndarray,
+    mask: jnp.ndarray,
+    step: jnp.ndarray,
+    rng: jnp.ndarray,
+    kmeans_init: bool,
+    expire_threshold: float,
+    expire_every: int,
+) -> Tuple[Any, Any, Any]:
+    """Documented deviation from the reference cadence: expire_codes_ runs
+    every forward there (vector_quantize.py:489-507); here every expire_every
+    steps (usage EMA still updates every step), and k-means init lands after
+    step 0's gradient update rather than before its quantization."""
     from ..models.vq import (
         expire_dead_codes_ema_stats,
         expire_dead_codes_params,
@@ -618,14 +651,11 @@ def train(
 
     train_module = model.module
     if pipeline_microbatches > 0:
-        from ..models.autoencoder import DCTAutoencoderModule
-        from ..parallel.pipeline import PipelineSpec
+        from ..parallel.pipeline import make_pipelined_module
 
         assert n_model_parallel > 1, "pipeline needs >1 stages (n_model_parallel)"
-        train_module = DCTAutoencoderModule(
-            model.module.config,
-            dtype=model.module.dtype,
-            pipeline=PipelineSpec(mesh=mesh, n_microbatches=pipeline_microbatches),
+        train_module = make_pipelined_module(
+            model.module, mesh, pipeline_microbatches
         )
 
     step_fn = make_train_step(
@@ -645,13 +675,16 @@ def train(
     bsh = batch_sharding(mesh)
     # sequence_parallel's sharding constraints key on an ambient mesh set
     # via jax.set_mesh (parallel/mesh.py:sp_scatter). set_mesh also makes
-    # every host->device array creation COMMITTED to the mesh (replicated),
-    # which conflicts with jit in_shardings on uncommitted args — so it is
-    # scoped to SP runs only, and SP batches are explicitly device_put below.
+    # every host->device array creation COMMITTED to the mesh (replicated —
+    # a full-batch broadcast), which both conflicts with jit in_shardings on
+    # uncommitted args AND would re-reshard every step; so SP batches are
+    # explicitly device_put to the data sharding first, and set_mesh wraps
+    # ONLY the jitted call (the ambient mesh matters at trace time).
     sp_on = getattr(model.config.encoder_config, "sequence_parallel", False) or getattr(
         model.config.decoder_config, "sequence_parallel", False
     )
-    with jax.set_mesh(mesh) if sp_on else mesh:
+    sp_ctx = (lambda: jax.set_mesh(mesh)) if sp_on else contextlib.nullcontext
+    with mesh:
         if zero1:
             zsh = zero1_state_sharding(state, mesh)
             state = jax.device_put(state, zsh)
@@ -694,10 +727,11 @@ def train(
                 )
             batch = pad_batch_rows(batch, row_multiple)
             if sp_on:
-                # under set_mesh, fresh host arrays commit as replicated;
-                # place them to the data sharding jit expects
+                # place rows to the data sharding OUTSIDE set_mesh (under it
+                # they'd commit replicated and re-reshard every step)
                 batch = jax.device_put(batch, bsh)
-            state, metrics = jitted(state, model.patchnorm, batch, grid_sizes)
+            with sp_ctx():
+                state, metrics = jitted(state, model.patchnorm, batch, grid_sizes)
 
             if i % log_every == 0:
                 metrics = {

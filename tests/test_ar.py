@@ -163,6 +163,29 @@ def test_scan_sampling_bit_identical_to_cached():
         np.testing.assert_array_equal(np.asarray(cached), np.asarray(scanned))
 
 
+def test_scan_sampler_runner_is_cached():
+    """Repeat sampler calls at the same (config, s, temperature, b) must hit
+    one cached jitted runner — a fresh @jax.jit per call retraces AND
+    recompiles (60-240 s per request on the remote-compile TPU)."""
+    from dct_autoencoder_tpu.models.ar import _scan_runner, sample_codes_scan
+
+    cfg = tiny_ar()
+    model = ARTokenModel(cfg)
+    rng = np.random.default_rng(2)
+    codes, chans, poss, pad = make_data(rng, b=1, s=8)
+    params = model.init(
+        jax.random.PRNGKey(0), codes, chans, poss, pad, training=False
+    )["params"]
+
+    a = sample_codes_scan(cfg, params, chans, poss, jax.random.PRNGKey(1))
+    b = sample_codes_scan(cfg, params, chans, poss, jax.random.PRNGKey(2))
+    assert a.shape == b.shape
+    r1, c1 = _scan_runner(cfg, 8, 1.0, 1)
+    r2, c2 = _scan_runner(cfg, 8, 1.0, 1)
+    assert r1 is r2 and c1 is c2
+    assert r1._cache_size() == 1  # one trace, reused
+
+
 def test_batched_scan_sampling_matches_per_row():
     """vmapped batched sampling: row i == the single-row scan sampler run
     with fold_in(rng, i), bit for bit."""

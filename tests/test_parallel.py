@@ -53,12 +53,11 @@ def sharded_vs_single(n_model, pipeline_microbatches=None, sequence_parallel=Fal
     pipeline_microbatches: run both transformer stacks as a GPipe pipeline
     over the model axis (parallel/pipeline.py).  sequence_parallel: Megatron-
     SP sharding constraints on the residual stream (models/config.py)."""
-    import dataclasses
+    from dct_autoencoder_tpu.models.config import with_sequence_parallel
 
     cfg = tiny_config()
     if sequence_parallel:
-        sp = dataclasses.replace(cfg.encoder_config, sequence_parallel=True)
-        cfg = dataclasses.replace(cfg, encoder_config=sp, decoder_config=sp)
+        cfg = with_sequence_parallel(cfg)
     model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
     rng = np.random.default_rng(0)
     batch = make_batch(proc, rng, n_images=8)
@@ -87,13 +86,10 @@ def sharded_vs_single(n_model, pipeline_microbatches=None, sequence_parallel=Fal
 
     sharded_module = model.module
     if pipeline_microbatches:
-        from dct_autoencoder_tpu.models.autoencoder import DCTAutoencoderModule
-        from dct_autoencoder_tpu.parallel.pipeline import PipelineSpec
+        from dct_autoencoder_tpu.parallel.pipeline import make_pipelined_module
 
-        sharded_module = DCTAutoencoderModule(
-            model.module.config,
-            dtype=model.module.dtype,
-            pipeline=PipelineSpec(mesh=mesh, n_microbatches=pipeline_microbatches),
+        sharded_module = make_pipelined_module(
+            model.module, mesh, pipeline_microbatches
         )
     sharded_step_fn = (
         make_train_step(sharded_module, tx) if sharded_module is not model.module

@@ -377,13 +377,10 @@ def test_train_loop_sequence_parallel_and_pipeline():
     constraints (sequence_parallel config + set_mesh plumbing) and GPipe
     pipelining (pipeline_microbatches) on the dp4 x tp2 virtual mesh,
     composed with grad accumulation (rows pad to accum x n_data x micro)."""
-    import dataclasses
-
+    from dct_autoencoder_tpu.models.config import with_sequence_parallel
     from dct_autoencoder_tpu.train.loop import train
 
-    cfg = tiny_config()
-    sp = dataclasses.replace(cfg.encoder_config, sequence_parallel=True)
-    cfg = dataclasses.replace(cfg, encoder_config=sp, decoder_config=sp)
+    cfg = with_sequence_parallel(tiny_config())
     model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
     rng = np.random.default_rng(5)
 

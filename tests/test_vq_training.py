@@ -221,6 +221,36 @@ def test_ema_mode_kmeans_init_seeds_ema_buffers():
     )
 
 
+def test_surgery_noops_on_all_padded_window():
+    """Pipeline/accum row padding can leave the surgery's sampling window
+    (the last micro-batch) with ZERO valid tokens; surgery must then no-op
+    instead of filling codebook rows with identical padding projections."""
+    from dct_autoencoder_tpu.train.loop import _vq_codebook_surgery
+
+    rng = np.random.default_rng(5)
+    z = jnp.asarray(rng.standard_normal((2, 32, 2, 8)).astype(np.float32))
+    empty = jnp.zeros((2, 32), dtype=bool)
+    stats = {
+        "vq_model": {
+            "embed": jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32)),
+            "embed_avg": jnp.zeros((2, 16, 8)),
+            "ema_cluster_size": jnp.zeros((2, 16)),
+            "cluster_size": jnp.zeros((2, 16)),
+        }
+    }
+    params = {"other": {}}
+    _, new_stats, _ = jax.jit(
+        lambda p, s: _vq_codebook_surgery(
+            p, s, None, z, empty, jnp.zeros((), jnp.int32), jax.random.PRNGKey(0),
+            kmeans_init=True, expire_threshold=15.0, expire_every=1,
+        )
+    )(params, stats)
+    for k, v in stats["vq_model"].items():
+        np.testing.assert_array_equal(
+            np.asarray(new_stats["vq_model"][k]), np.asarray(v), err_msg=k
+        )
+
+
 def test_vq_train_step_reduces_loss():
     model, proc, batch = setup_vq()
     from dct_autoencoder_tpu.train.loop import prepare_train_batch
