@@ -60,6 +60,9 @@ def main(
     sequence_parallel: bool = False,
     # ZeRO-1: shard optimizer moments over the data axis (train/loop.py)
     zero1: bool = False,
+    # blockwise-int8 Adam moments (the reference's default PagedAdamW8bit,
+    # main.py:420-425, rebuilt TPU-native in train/opt8bit.py)
+    opt_8bit: bool = False,
     rec_loss_unnormalized: float = 1.0,
     rec_loss: float = 0.1,
     commit_loss: float = 0.1,
@@ -180,6 +183,7 @@ def main(
         n_model_parallel=n_model_parallel,
         pipeline_microbatches=pipeline_microbatches,
         zero1=zero1,
+        opt_8bit=opt_8bit,
         use_pixel_loss=use_pixel_loss,
         pixel_loss_max_images=pixel_loss_max_images,
         prefetch_batches=prefetch_batches,

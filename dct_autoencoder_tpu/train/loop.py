@@ -3,8 +3,9 @@
 TPU-native port of the reference trainer (reference: main.py:115-280):
   * optax AdamW(0.9, 0.99, wd 0.1) + cosine schedule with 200 warmup steps +
     global-norm clip 5.0 (replaces PagedAdamW8bit + HF scheduler +
-    accelerator.clip_grad_norm_, main.py:420-427, 242-244; 8-bit paging is a
-    CUDA workaround with no TPU counterpart);
+    accelerator.clip_grad_norm_, main.py:420-427, 242-244); the 8-BIT moment
+    state itself is available TPU-native via opt_8bit=True
+    (train/opt8bit.py — CUDA paging is the only part with no TPU meaning);
   * the whole train step (fwd + bwd + update) is ONE jit-compiled program over
     a (data, model) mesh — gradient all-reduce is XLA-inserted, replacing
     Accelerate DDP (main.py:429-434);
@@ -69,8 +70,14 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.99,
     grad_clip: float = 5.0,
+    opt_8bit: bool = False,
 ) -> optax.GradientTransformation:
-    """AdamW + warmup-cosine + clip (reference main.py:420-427, 242-244)."""
+    """AdamW + warmup-cosine + clip (reference main.py:420-427, 242-244).
+
+    opt_8bit=True stores the Adam moments as blockwise int8 + per-block
+    scales (train/opt8bit.py) — the TPU-native counterpart of the
+    reference's DEFAULT bitsandbytes PagedAdamW8bit (main.py:420-425):
+    ~2 bytes/param of optimizer state instead of 8. Composes with ZeRO-1."""
     warmup_steps = min(warmup_steps, max(max_iters - 1, 0))
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
@@ -79,10 +86,13 @@ def make_optimizer(
         decay_steps=max(max_iters, warmup_steps + 1),
         end_value=0.0,
     )
-    return optax.chain(
-        optax.clip_by_global_norm(grad_clip),
-        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
-    )
+    if opt_8bit:
+        from .opt8bit import adamw8bit
+
+        adam = adamw8bit(schedule, b1=b1, b2=b2, weight_decay=weight_decay)
+    else:
+        adam = optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay)
+    return optax.chain(optax.clip_by_global_norm(grad_clip), adam)
 
 
 def prepare_train_batch(
@@ -603,6 +613,9 @@ def train(
     # checkpointing gathers transparently, multi-host save requires the
     # orbax tier (it writes sharded arrays natively).
     zero1: bool = False,
+    # 8-bit Adam moment state (train/opt8bit.py; reference PagedAdamW8bit
+    # counterpart, main.py:420-425) — ~2 bytes/param instead of 8
+    opt_8bit: bool = False,
     use_pixel_loss: bool = False,
     pixel_loss_max_images: int = 64,
     prefetch_batches: int = 2,
@@ -639,7 +652,7 @@ def train(
 
     log_images_every > 0 writes an original-vs-reconstruction grid to out_dir
     every that many steps (reference main.py:195-214)."""
-    tx = make_optimizer(learning_rate, max_iters)
+    tx = make_optimizer(learning_rate, max_iters, opt_8bit=opt_8bit)
     state = TrainState.create(model.params, tx, model.vq_stats)
     if resume_path is not None:
         from .checkpoint import has_train_state, load_train_state

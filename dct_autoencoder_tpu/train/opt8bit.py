@@ -1,0 +1,180 @@
+"""Blockwise 8-bit AdamW state — the TPU-native PagedAdamW8bit.
+
+The reference trains with `bitsandbytes.optim.PagedAdamW8bit` BY DEFAULT
+(reference main.py:7,420-425): Adam moments stored as 8-bit codes with
+per-block scales, dequantized transiently inside the update.  bitsandbytes
+is CUDA; this module re-implements the capability as a pure optax
+`GradientTransformation` — everything is elementwise math + a 256-entry
+codebook lookup, which XLA fuses into the update program (no paging needed:
+TPU HBM is flat, and ZeRO-1 (`--zero1`) is the orthogonal spill lever).
+
+Scheme (mirrors bnb's blockwise dynamic quantization):
+  * moments are flattened, zero-padded to a multiple of `block_size` (256,
+    bnb's default) and viewed as (n_blocks, block);
+  * each block stores `absmax` (f32) and uint8 indices into a fixed
+    256-level codebook over [-1, 1] (signed, for mu) or [0, 1] (unsigned,
+    for nu);
+  * the codebook is cubic-spaced (`sign(u) * u^2`-style concentration near
+    zero) — moment distributions are sharply peaked at 0, so uniform levels
+    would waste most of the 8 bits on the empty tails;
+  * quantization picks the nearest level via `searchsorted` on the sorted
+    codebook (vectorized; no 256-way scan).
+
+State size: 1 byte/param per moment + 4/block scale ≈ **2.03 bytes/param**
+vs fp32 Adam's 8 (the test pins the ratio).  Accuracy: the decode→update→
+re-encode roundtrip keeps per-step moment error below the codebook step
+(~1e-2 relative within a block); the training-equivalence test tracks fp32
+AdamW loss for 12 steps on the real model.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+BLOCK = 256
+
+
+def _signed_codebook() -> jnp.ndarray:
+    """256 monotone levels in [-1, 1], cubically concentrated near 0."""
+    u = np.linspace(-1.0, 1.0, 256)
+    return jnp.asarray(np.sign(u) * np.abs(u) ** 3, jnp.float32)
+
+
+def _unsigned_codebook() -> jnp.ndarray:
+    """256 monotone levels in [0, 1], concentrated near 0 (nu is
+    non-negative with a huge dynamic range)."""
+    u = np.linspace(0.0, 1.0, 256)
+    return jnp.asarray(u**4, jnp.float32)
+
+
+def _nearest_idx(cb: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Index of the nearest codebook level (cb sorted ascending)."""
+    hi = jnp.clip(jnp.searchsorted(cb, x), 1, cb.shape[0] - 1)
+    lo = hi - 1
+    pick_hi = (cb[hi] - x) < (x - cb[lo])
+    return jnp.where(pick_hi, hi, lo).astype(jnp.uint8)
+
+
+def _blockify(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    flat = x.reshape(-1)
+    pad = (-flat.size) % block
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    return flat.reshape(-1, block)
+
+
+def _unblockify(b: jnp.ndarray, shape, size: int) -> jnp.ndarray:
+    return b.reshape(-1)[:size].reshape(shape)
+
+
+def quantize_blockwise(
+    x: jnp.ndarray, cb: jnp.ndarray, block: int = BLOCK
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """x -> (uint8 codes (n_blocks, block), f32 absmax (n_blocks,))."""
+    xb = _blockify(x.astype(jnp.float32), block)
+    absmax = jnp.max(jnp.abs(xb), axis=1)
+    scale = jnp.where(absmax > 0, absmax, 1.0)
+    return _nearest_idx(cb, xb / scale[:, None]), absmax
+
+
+def dequantize_blockwise(
+    codes: jnp.ndarray, absmax: jnp.ndarray, cb: jnp.ndarray, shape, size: int
+) -> jnp.ndarray:
+    return _unblockify(cb[codes] * absmax[:, None], shape, size)
+
+
+class ScaleByAdam8bitState(NamedTuple):
+    """Four parallel trees mirroring the param structure (codes uint8,
+    absmax f32 per block) — parallel PLAIN trees, not per-leaf wrapper
+    nodes, so tree_map over (updates, state...) matches structures."""
+
+    count: jnp.ndarray
+    mu_codes: dict
+    mu_absmax: dict
+    nu_codes: dict
+    nu_absmax: dict
+
+
+def scale_by_adam8bit(
+    b1: float = 0.9,
+    b2: float = 0.99,
+    eps: float = 1e-8,
+    block_size: int = BLOCK,
+) -> optax.GradientTransformation:
+    """optax `scale_by_adam` with both moments stored blockwise-int8."""
+    cb_s = _signed_codebook()
+    cb_u = _unsigned_codebook()
+
+    def init_fn(params):
+        def zq(p, cb):
+            return quantize_blockwise(jnp.zeros_like(p), cb, block_size)
+
+        mu = jax.tree_util.tree_map(lambda p: zq(p, cb_s), params)
+        nu = jax.tree_util.tree_map(lambda p: zq(p, cb_u), params)
+        pick = lambda tree, i: jax.tree_util.tree_map(
+            lambda t: t[i], tree, is_leaf=lambda x: isinstance(x, tuple)
+        )
+        return ScaleByAdam8bitState(
+            jnp.zeros((), jnp.int32),
+            pick(mu, 0), pick(mu, 1), pick(nu, 0), pick(nu, 1),
+        )
+
+    def update_fn(updates, state, params=None):
+        count = state.count + 1
+        c1 = 1.0 - b1**count.astype(jnp.float32)
+        c2 = 1.0 - b2**count.astype(jnp.float32)
+
+        def upd(g, mc, ma, vc, va):
+            g32 = g.astype(jnp.float32)
+            m = b1 * dequantize_blockwise(mc, ma, cb_s, g.shape, g.size)
+            m = m + (1.0 - b1) * g32
+            v = b2 * dequantize_blockwise(vc, va, cb_u, g.shape, g.size)
+            v = v + (1.0 - b2) * g32 * g32
+            step = (m / c1) / (jnp.sqrt(v / c2) + eps)
+            new_mc, new_ma = quantize_blockwise(m, cb_s, block_size)
+            new_vc, new_va = quantize_blockwise(v, cb_u, block_size)
+            return step.astype(g.dtype), new_mc, new_ma, new_vc, new_va
+
+        out = jax.tree_util.tree_map(
+            upd, updates, state.mu_codes, state.mu_absmax,
+            state.nu_codes, state.nu_absmax,
+        )
+        pick = lambda i: jax.tree_util.tree_map(
+            lambda t: t[i], out, is_leaf=lambda x: isinstance(x, tuple)
+        )
+        return pick(0), ScaleByAdam8bitState(
+            count, pick(1), pick(2), pick(3), pick(4)
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adamw8bit(
+    learning_rate,
+    b1: float = 0.9,
+    b2: float = 0.99,
+    eps: float = 1e-8,
+    weight_decay: float = 0.1,
+    block_size: int = BLOCK,
+    mask: Optional[object] = None,
+) -> optax.GradientTransformation:
+    """Drop-in AdamW with 8-bit moment state (reference PagedAdamW8bit
+    counterpart; same (lr, betas, wd) defaults as main.py:420-425)."""
+    return optax.chain(
+        scale_by_adam8bit(b1=b1, b2=b2, eps=eps, block_size=block_size),
+        optax.add_decayed_weights(weight_decay, mask=mask),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
+def opt_state_bytes(opt_state) -> int:
+    """Total bytes of all array leaves in an optimizer state pytree."""
+    return sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree_util.tree_leaves(opt_state)
+        if hasattr(leaf, "dtype")
+    )
