@@ -63,6 +63,84 @@ def test_adamw8bit_tracks_fp32_on_quadratic():
     assert abs(finals["8bit"] - finals["fp32"]) / finals["fp32"] < 0.05, finals
 
 
+def test_opt8bit_checkpoint_resume_exact(tmp_path):
+    """Orbax save/restore of the int8 moment state resumes bitwise — the
+    quantized codes are integers, so (step, save, restore, step) must equal
+    (step, step) EXACTLY."""
+    from dct_autoencoder_tpu.train.checkpoint import load_train_state, save_train_state
+
+    model, proc, batch = setup_model()
+    tx = make_optimizer(
+        learning_rate=1e-3, max_iters=10, warmup_steps=0, opt_8bit=True
+    )
+    step = jax.jit(make_train_step(model.module, tx))
+
+    s1, _ = step(TrainState.create(model.params, tx), model.patchnorm, batch)
+    save_train_state(str(tmp_path / "ck"), s1, model.patchnorm)
+    s2_cont, m_cont = step(s1, model.patchnorm, batch)
+
+    s1_rest, pn = load_train_state(str(tmp_path / "ck"), s2_cont, model.patchnorm)
+    s2_rest, m_rest = step(s1_rest, pn, batch)
+
+    np.testing.assert_array_equal(
+        np.asarray(m_cont["loss"]), np.asarray(m_rest["loss"])
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s2_cont.opt_state),
+        jax.tree_util.tree_leaves(s2_rest.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_opt8bit_composes_with_zero1():
+    """ZeRO-1 shards the int8 code/absmax leaves too (blocks on the leading
+    dim), and the sharded step reproduces the single-device metrics."""
+    from dct_autoencoder_tpu.parallel.mesh import make_mesh, shard_batch
+    from dct_autoencoder_tpu.train.loop import jit_train_step, zero1_state_sharding
+
+    model, proc, batch = setup_model()
+    mesh = make_mesh(n_model=1)
+    n_data = mesh.shape["data"]
+    b = batch.patches.shape[0]
+    pad_rows = (-b) % n_data
+    if pad_rows:
+        pad = lambda x: x if x.ndim == 0 else jnp.pad(
+            x, [(0, pad_rows)] + [(0, 0)] * (x.ndim - 1)
+        )
+        batch = jax.tree_util.tree_map(pad, batch)
+        batch = batch.replace(key_pad_mask=batch.key_pad_mask.at[b:].set(True))
+
+    tx = make_optimizer(
+        learning_rate=1e-3, max_iters=10, warmup_steps=0, opt_8bit=True
+    )
+    step_fn = make_train_step(model.module, tx)
+    _, m_single = jax.jit(step_fn)(
+        TrainState.create(model.params, tx), model.patchnorm, batch
+    )
+
+    with mesh:
+        state = TrainState.create(model.params, tx)
+        zsh = zero1_state_sharding(state, mesh, min_size=0)
+        state = jax.device_put(state, zsh)
+        jitted = jit_train_step(
+            step_fn, mesh, None, zero1_state=state, zero1_min_size=0
+        )
+        new_state, m_sh = jitted(state, model.patchnorm, shard_batch(batch, mesh), None)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_sh["loss"]), rtol=1e-4
+    )
+    # the uint8 code leaves are actually sharded over data
+    sharded = [
+        leaf
+        for leaf in jax.tree_util.tree_leaves(new_state.opt_state)
+        if hasattr(leaf, "dtype")
+        and leaf.dtype == jnp.uint8
+        and "data" in str(getattr(leaf, "sharding", ""))
+    ]
+    assert sharded, "no int8 moment leaf sharded over the data axis"
+
+
 def test_opt8bit_real_train_step_and_memory():
     """One jitted train step on the real model with 8-bit moments: finite
     loss, params move, and the Adam state is ~4x smaller than fp32's."""
