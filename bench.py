@@ -363,6 +363,76 @@ def bench_latency():
     }
 
 
+def bench_ar():
+    """AR sampling throughput: the one-program scan sampler
+    (models/ar.py:sample_codes_scan[_batched]) on a 33.6M decoder.
+
+    AR_BATCH=N samples N layouts at once (vmapped; the b=1 sampler is
+    per-step-latency-bound, so batched tok/s scales nearly with N).
+    AR_TOKENS sets the sequence length (default 256). Steady-state best of
+    3 runs, synced via int() on the last token."""
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dct_autoencoder_tpu.models.ar import (
+        ARConfig,
+        ARTokenModel,
+        sample_codes_scan,
+        sample_codes_scan_batched,
+    )
+    from dct_autoencoder_tpu.models.config import TransformerConfig
+
+    S = int(os.environ.get("AR_TOKENS", "256"))
+    B = int(os.environ.get("AR_BATCH", "1"))
+    cfg = ARConfig(
+        codebook_size=1024,
+        num_codebooks=8,
+        image_channels=3,
+        max_patch_h=32,
+        max_patch_w=32,
+        transformer=TransformerConfig(
+            hidden_size=512, intermediate_size=2048,
+            num_hidden_layers=8, num_attention_heads=8,
+        ),
+    )
+    rng = np.random.default_rng(0)
+    chans = jnp.asarray(rng.integers(0, 3, (B, S)).astype(np.int32))
+    poss = jnp.asarray(rng.integers(0, 32, (B, S, 2)).astype(np.int32))
+    codes0 = jnp.asarray(rng.integers(0, 1024, (1, S, 8)).astype(np.int32))
+    pad = jnp.zeros((1, S), bool)
+    model = ARTokenModel(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), codes0, chans[:1], poss[:1], pad, training=False
+    )["params"]
+
+    sample = (
+        (lambda k: sample_codes_scan(cfg, params, chans, poss, k))
+        if B == 1
+        else (lambda k: sample_codes_scan_batched(cfg, params, chans, poss, k))
+    )
+    _ = int(np.asarray(sample(jax.random.PRNGKey(0)))[0, -1, 0])  # compile
+    best = float("inf")
+    for i in range(3):
+        t0 = time.time()
+        out = sample(jax.random.PRNGKey(1 + i))
+        _ = int(np.asarray(out)[-1, -1, 0])
+        best = min(best, time.time() - t0)
+    toks = B * S / best
+    return {
+        "metric": f"ar_scan_sampling_b{B}",
+        "value": round(toks, 1),
+        "unit": "tokens/s/chip",
+        # per-step dispatch loop measured 2 tok/s at this shape (b=1,
+        # docs/components.md) — the one-program scan is the baseline-defining
+        # improvement; vs_baseline reports against that
+        "vs_baseline": round(toks / 2.0, 1),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -384,6 +454,9 @@ def main():
         return
     if mode == "latency":
         print(json.dumps(bench_latency()))
+        return
+    if mode == "ar":
+        print(json.dumps(bench_ar()))
         return
 
     here = os.path.dirname(os.path.abspath(__file__))
