@@ -119,3 +119,13 @@ def get_decay_fn(start_val: float, end_value: float, n: int):
         return ((n - i) / n) * start_val + (i / n) * end_value
 
     return fn
+
+
+def psnr(a, b) -> float:
+    """RGB-space PSNR in dB between two [0,1] images (clipped; mse floored
+    at 1e-12 -> 120 dB cap).  The ONE shared definition — the eval harness
+    and the reference-parity tool must report comparable numbers."""
+    import numpy as np
+
+    mse = float(np.mean((np.clip(a, 0, 1) - np.clip(b, 0, 1)) ** 2))
+    return 10.0 * float(np.log10(1.0 / max(mse, 1e-12)))

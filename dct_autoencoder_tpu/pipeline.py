@@ -142,16 +142,16 @@ class DCTPipeline:
         for batch in self.processor.iter_batches(
             iter([cols]), batch_size=batch_size, drain=batch_size is not None
         ):
-            # strip the static pytree aux (patch_sizes/original_sizes/_data)
-            # before any jitted call: left on the batch it keys the compile
-            # cache and a daemon recompiles per image-size/count combination
-            # even when the padded device shapes are identical
+            # strip the recompile-trap static aux before any jitted call
+            # (one authoritative strip: train.loop.prepare_train_batch) —
+            # left on the batch it keys the compile cache and a daemon
+            # recompiles per image-size/count combination
             meta = dict(
                 patch_sizes=batch.patch_sizes, original_sizes=batch.original_sizes
             )
-            batch = batch.replace(
-                attn_mask=None, patch_sizes=(), original_sizes=(), _data=None
-            )
+            from .train.loop import prepare_train_batch
+
+            batch, _ = prepare_train_batch(batch)
             if self.pad_rows_to:
                 from .parallel.mesh import pad_batch_rows
 
@@ -247,18 +247,23 @@ class DCTPipeline:
             meta = dict(
                 patch_sizes=batch.patch_sizes, original_sizes=batch.original_sizes
             )
-            # patch_sizes/original_sizes/_data are static pytree aux: left on
-            # the batch they'd key the jit cache and recompile the program for
-            # every distinct image-size combination (same trap as
-            # train.loop.prepare_train_batch).  Strip them; the fused path
-            # bakes them in as static ints, the fallback re-attaches `meta`.
-            dev = batch.replace(
-                attn_mask=None, patch_sizes=(), original_sizes=(), _data=None
-            )
-            if self.pad_rows_to:
+            # strip the recompile-trap static aux (one authoritative strip:
+            # train.loop.prepare_train_batch); the fused path bakes sizes in
+            # as static ints, the fallback re-attaches `meta`.
+            from .train.loop import prepare_train_batch
+
+            dev, _ = prepare_train_batch(batch)
+            # rows must divide BOTH the serving bucket and (data-parallel)
+            # the data-axis size — the fused program pins batch_sharding
+            row_mult = max(self.pad_rows_to, 1)
+            if self._mesh is not None:
+                import math
+
+                row_mult = math.lcm(row_mult, self._mesh.shape["data"])
+            if row_mult > 1:
                 from .parallel.mesh import pad_batch_rows
 
-                dev = pad_batch_rows(dev, self.pad_rows_to)
+                dev = pad_batch_rows(dev, row_mult)
 
             n_images = len(meta["patch_sizes"])
             if (

@@ -38,9 +38,7 @@ def load_images(paths: Sequence[str], resize: int = 448) -> List[np.ndarray]:
     return load_images_chw(paths, resize)
 
 
-def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    mse = float(np.mean((np.clip(a, 0, 1) - np.clip(b, 0, 1)) ** 2))
-    return 10.0 * float(np.log10(1.0 / max(mse, 1e-12)))
+from ..ops.stats import psnr  # shared definition
 
 
 def evaluate_checkpoint(

@@ -118,9 +118,9 @@ def main():
         ds = proc.preprocess_many(ims)
         cols = {k: [d[k] for d in ds] for k in ds[0]}
         batch = next(proc.iter_batches(iter([cols]), batch_size=None))
-        batch = batch.replace(
-            attn_mask=None, patch_sizes=(), original_sizes=(), _data=None
-        )
+        from ..train.loop import prepare_train_batch
+
+        batch, _ = prepare_train_batch(batch)
     else:
         here = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -140,9 +140,7 @@ def run_ours_roundtrip(images: List[np.ndarray], patch_size: int, max_patch: int
     return outs
 
 
-def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    mse = float(np.mean((np.clip(a, 0, 1) - np.clip(b, 0, 1)) ** 2))
-    return 10 * np.log10(1.0 / max(mse, 1e-12))
+from ..ops.stats import psnr  # shared definition
 
 
 def main(

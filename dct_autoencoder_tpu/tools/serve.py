@@ -140,14 +140,21 @@ class BatchingServer:
             images = self.pipeline.decode([r.payload for r in reqs])
             for r, im in zip(reqs, images):
                 r.result = im  # np array; the HTTP layer picks the codec
-        elif kind == "reconstruct":
+        elif kind in ("reconstruct", "reconstruct_f32"):
             images = [np.asarray(r.payload, dtype=np.float32) for r in reqs]
             # the fused path (2 dispatches for a uniform-size group, no host
-            # pull of tokens/patches; uint8 straight off the device — 4x less
-            # result transfer, and the binary codec emits uint8 anyway);
-            # falls back to encode->decode for pipelines without it (stubs)
+            # pull of tokens/patches).  Binary clients ('reconstruct') get
+            # uint8 straight off the device — 4x less result transfer, and
+            # the binary codec emits uint8 anyway.  JSON clients
+            # ('reconstruct_f32', split into their own group by the HTTP
+            # layer) keep the full-precision float contract — silently
+            # returning 8-bit-quantized floats would move every pixel by up
+            # to ~1/510.  Falls back to encode->decode for stub pipelines.
             fn = getattr(self.pipeline, "reconstruct_direct", None)
-            outs = fn(images, as_uint8=True) if fn else self.pipeline.reconstruct(images)
+            if fn:
+                outs = fn(images, as_uint8=(kind == "reconstruct"))
+            else:
+                outs = self.pipeline.reconstruct(images)
             for r, im in zip(reqs, outs):
                 r.result = im
         else:
@@ -229,7 +236,10 @@ def make_handler(server: BatchingServer):
                     payload = json.loads(raw)
                     if kind in ("encode", "reconstruct"):
                         payload = payload["image"]
-                result = server.submit(kind, payload)
+                submit_kind = kind
+                if kind == "reconstruct" and not binary_out:
+                    submit_kind = "reconstruct_f32"  # float-exact JSON path
+                result = server.submit(submit_kind, payload)
                 if kind in ("decode", "reconstruct"):
                     if binary_out:
                         self._npy(200, np.asarray(result))
