@@ -32,6 +32,28 @@ def create_output_directory(base: str = "out") -> str:
     return path
 
 
+def _restart_argv(argv, out_dir: str):
+    """argv for the RSS-watchdog self-restart: strip any existing resume
+    flags (both `--flag value` and `--flag=value` forms) and point them at
+    the just-checkpointed out_dir, which is also reused as the output dir."""
+    drop = ("--train_state_resume_path", "--model_resume_path", "--resume_out_dir")
+    out, skip = [], False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a.startswith(drop):
+            skip = "=" not in a  # two-token form: drop the value too
+            continue
+        out.append(a)
+    out += [
+        f"--train_state_resume_path={out_dir}",
+        f"--model_resume_path={out_dir}/model",
+        f"--resume_out_dir={out_dir}",
+    ]
+    return out
+
+
 def main(
     image_dataset_path_or_url: Optional[str] = None,
     preprocessed_dataset_path_or_url: Optional[str] = None,
@@ -77,6 +99,14 @@ def main(
     # 'abort' (reference parity) or 'restore' (roll back to the last saved
     # train state on a non-finite loss and continue)
     nan_policy: str = "abort",
+    # host-RSS watchdog: checkpoint + self-restart (os.execv) before the
+    # kernel OOM killer fires — this environment's remote-TPU client leaks
+    # every host->device transfer buffer (train/loop.py:RssLimitExceeded).
+    # <0 = auto (75% of MemTotal), 0 = off
+    rss_limit_gb: float = -1.0,
+    # internal (set by the self-restart): reuse this out dir instead of
+    # creating a new timestamped one, so metrics/checkpoints stay together
+    resume_out_dir: Optional[str] = None,
     # keep per-step model checkpoints (out/<ts>/ckpt_<step>) for tools/eval.py
     keep_checkpoints: bool = False,
     # VQ training knobs (reference threshold_ema_dead_code=15,
@@ -126,7 +156,10 @@ def main(
             preprocessed_dataset_path_or_url, shuffle_buffer=1000, seed=seed
         )
 
-    out_dir = create_output_directory(out_base) if should_save else None
+    if resume_out_dir:
+        out_dir = resume_out_dir
+    else:
+        out_dir = create_output_directory(out_base) if should_save else None
     run_info = dict(
         sample_patches_beta=sample_patches_beta,
         max_seq_len=processor.max_seq_len,
@@ -149,7 +182,9 @@ def main(
                 f.write(json.dumps({k: v for k, v in d.items() if not hasattr(v, "shape")}) + "\n")
 
     # ----------- Norm calibration phase (reference main.py:388-404) --------
-    if train_norm_iters > 0:
+    # skipped on a watchdog self-restart: the checkpointed patchnorm is
+    # restored by train() anyway (re-calibrating would be wasted work)
+    if train_norm_iters > 0 and not resume_out_dir:
         print("training norm")
         train_patch_norm(
             model,
@@ -171,35 +206,54 @@ def main(
         for _ in range(max(epochs, 1)):
             yield from batched(make_data(), batch_size)
 
-    model, state = train(
-        model,
+    from ..train.loop import RssLimitExceeded
+
+    try:
+        model, state = train(
+            model,
         processor,
-        epoch_stream(),
-        batch_size=batch_size,
-        learning_rate=learning_rate,
-        max_iters=max_iters,
-        grad_accumulation_steps=grad_accumulation_steps,
-        loss_weights=loss_weights,
-        n_model_parallel=n_model_parallel,
-        pipeline_microbatches=pipeline_microbatches,
-        zero1=zero1,
-        opt_8bit=opt_8bit,
-        use_pixel_loss=use_pixel_loss,
-        pixel_loss_max_images=pixel_loss_max_images,
-        prefetch_batches=prefetch_batches,
-        nan_policy=nan_policy,
-        log_every=log_every,
-        save_every=save_every,
-        keep_checkpoints=keep_checkpoints,
-        log_images_every=log_images_every,
-        out_dir=out_dir,
-        resume_path=train_state_resume_path,
-        seed=seed,
-        vq_kmeans_init=vq_kmeans_init,
-        vq_expire_threshold=vq_expire_threshold,
-        vq_expire_every=vq_expire_every,
-        log=log,
-    )
+            epoch_stream(),
+            batch_size=batch_size,
+            learning_rate=learning_rate,
+            max_iters=max_iters,
+            grad_accumulation_steps=grad_accumulation_steps,
+            loss_weights=loss_weights,
+            n_model_parallel=n_model_parallel,
+            pipeline_microbatches=pipeline_microbatches,
+            zero1=zero1,
+            opt_8bit=opt_8bit,
+            use_pixel_loss=use_pixel_loss,
+            pixel_loss_max_images=pixel_loss_max_images,
+            prefetch_batches=prefetch_batches,
+            nan_policy=nan_policy,
+            rss_limit_gb=rss_limit_gb,
+            log_every=log_every,
+            save_every=save_every,
+            keep_checkpoints=keep_checkpoints,
+            log_images_every=log_images_every,
+            out_dir=out_dir,
+            resume_path=train_state_resume_path,
+            seed=seed,
+            vq_kmeans_init=vq_kmeans_init,
+            vq_expire_threshold=vq_expire_threshold,
+            vq_expire_every=vq_expire_every,
+            log=log,
+        )
+    except RssLimitExceeded as e:
+        # self-restart: exec the same command with resume flags pointing at
+        # the just-written checkpoint and the SAME out dir (fresh process =
+        # the leaked client memory is reclaimed; exact-resume checkpoints
+        # make the restart invisible in the metrics)
+        import sys
+
+        print(f"restarting after RSS limit: {e}")
+        argv = _restart_argv(sys.argv, e.out_dir)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os.execv(
+            sys.executable,
+            [sys.executable, "-m", "dct_autoencoder_tpu.train.cli"] + argv[1:],
+        )
 
     if profile_dir:
         import jax

@@ -62,6 +62,52 @@ class TrainState:
         )
 
 
+class RssLimitExceeded(RuntimeError):
+    """Raised by train() when host RSS crosses rss_limit_gb AFTER the state
+    was checkpointed — the caller can restart the process and resume.
+
+    Exists because of a measured host-memory leak in this environment's
+    experimental remote-TPU client: every host->device transfer leaks its
+    full payload (probe: 9.18 MB leaked per 9.63 MB device_put; dispatches
+    and device->host pulls leak nothing), so a training loop leaks
+    ~batch-size bytes per step (~37 MB/step at small-448) and a multi-hour
+    run is eventually OOM-killed mid-interval. The watchdog turns that kill
+    into a clean checkpoint + resumable exit; the CLI re-execs itself and
+    continues in a fresh process (same out_dir, exact-resume checkpoints)."""
+
+    def __init__(self, step: int, rss_gb: float, out_dir: str):
+        super().__init__(
+            f"host RSS {rss_gb:.1f} GB exceeded the limit at step {step}; "
+            f"train state checkpointed to {out_dir} for restart"
+        )
+        self.step = step
+        self.rss_gb = rss_gb
+        self.out_dir = out_dir
+
+
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0 / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
+def _auto_rss_limit_gb() -> float:
+    """75% of MemTotal — headroom for the checkpoint write + page cache."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    return 0.75 * int(line.split()[1]) / 1024.0 / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
 def make_optimizer(
     learning_rate: float = 1e-4,
     max_iters: int = 10000,
@@ -626,6 +672,11 @@ def train(
     # poisoned and the originals were donated to the jitted step — so it
     # aborts with an explanatory error)
     nan_policy: str = "abort",
+    # host-RSS watchdog (see RssLimitExceeded): when RSS crosses the limit,
+    # checkpoint to out_dir and raise for a process restart instead of being
+    # OOM-killed mid-interval by the kernel. <0 = auto (75% of MemTotal);
+    # 0 disables; requires out_dir to act (logs a warning otherwise)
+    rss_limit_gb: float = -1.0,
     log_every: int = 50,
     save_every: int = 1000,
     # keep a model-only copy of each periodic save at out_dir/ckpt_<step>
@@ -710,6 +761,11 @@ def train(
         t0 = time.time()
         n_data = mesh.shape["data"]
         i = -1
+        # max_iters counts TOTAL steps across restarts: a resumed state
+        # starts at step>0 and runs only the remainder
+        start_step = int(state.step)
+        if rss_limit_gb < 0:
+            rss_limit_gb = _auto_rss_limit_gb()
         batch_iter = proc.iter_batches(data_iter, batch_size)
         if prefetch_batches > 0:
             # overlap host-side decode/preprocess/packing of batch i+1 with
@@ -719,8 +775,10 @@ def train(
 
             batch_iter = prefetch(batch_iter, prefetch_batches)
         for i, raw_batch in enumerate(batch_iter):
-            if i >= max_iters:
+            if i >= max_iters - start_step:
                 break
+            # global step across restarts (resume starts at state.step)
+            gstep = start_step + i
             batch, grid_sizes = prepare_train_batch(
                 raw_batch,
                 pixel_loss_max_images if use_pixel_loss else 0,
@@ -770,7 +828,7 @@ def train(
                                 state = jax.device_put(state, zsh)
                             log(
                                 {
-                                    "step": i,
+                                    "step": gstep,
                                     "warning": "NAN LOSS — restored last "
                                     f"checkpoint (step {int(state.step)}), continuing",
                                 }
@@ -782,23 +840,23 @@ def train(
                         # requires out_dir + save_every
                         log(
                             {
-                                "step": i,
+                                "step": gstep,
                                 "error": "NAN LOSS — nan_policy='restore' needs "
                                 "a checkpoint (set out_dir + save_every); aborting",
                             }
                         )
                         break
                     # NaN abort (reference main.py:267-269)
-                    log({"step": i, "error": "NAN LOSS — aborting"})
+                    log({"step": gstep, "error": "NAN LOSS — aborting"})
                     break
                 metrics.update(
-                    step=i,
+                    step=gstep,
                     sec_per_step=(time.time() - t0) / max(i, 1),
                     images_per_batch=len(raw_batch.original_sizes),
                 )
                 log(metrics)
 
-            if out_dir and log_images_every and i % log_images_every == 0:
+            if out_dir and log_images_every and gstep % log_images_every == 0:
                 from ..tools.viz import make_image_grid
 
                 model.params = state.params
@@ -818,14 +876,14 @@ def train(
                         [np.mean((np.clip(r, 0, 1) - o) ** 2) for r, o in zip(rec_images, orig_images)]
                     )
                 )
-                log({"step": i, "pixel_loss": pixel_loss})
+                log({"step": gstep, "pixel_loss": pixel_loss})
                 make_image_grid(
                     orig_images[:n_log_images],
                     [np.clip(r, 0, 1) for r in rec_images[:n_log_images]],
-                    filename=f"{out_dir}/train_image_{i:06d}.png",
+                    filename=f"{out_dir}/train_image_{gstep:06d}.png",
                 )
 
-            if out_dir and save_every and i > 0 and i % save_every == 0:
+            if out_dir and save_every and i > 0 and gstep % save_every == 0:
                 from .checkpoint import save_train_state
 
                 # never checkpoint a poisoned state: a NaN can appear between
@@ -837,9 +895,44 @@ def train(
                     model.save_pretrained(f"{out_dir}/model")
                     save_train_state(out_dir, state, model.patchnorm)
                     if keep_checkpoints:
-                        model.save_pretrained(f"{out_dir}/ckpt_{i:06d}")
+                        model.save_pretrained(f"{out_dir}/ckpt_{gstep:06d}")
                 else:
-                    log({"step": i, "warning": "skipping checkpoint: non-finite loss"})
+                    log({"step": gstep, "warning": "skipping checkpoint: non-finite loss"})
+
+            # RSS watchdog (see RssLimitExceeded): in environments whose
+            # device client leaks host memory per transfer, checkpoint and
+            # hand control back for a process restart BEFORE the kernel's
+            # OOM killer fires mid-interval
+            # i > 0: a restarted process must make at least one step of
+            # progress before it may restart again (no restart livelock)
+            if rss_limit_gb and i > 0 and i % log_every == 0:
+                rss = _rss_gb()
+                if rss > rss_limit_gb:
+                    if not out_dir:
+                        log(
+                            {
+                                "step": gstep,
+                                "warning": f"RSS {rss:.1f} GB over limit but no "
+                                "out_dir to checkpoint to — continuing at risk",
+                            }
+                        )
+                    elif np.isfinite(float(metrics.get("loss", np.nan))):
+                        from .checkpoint import save_train_state
+
+                        model.params = state.params
+                        model.vq_stats = state.vq_stats
+                        model.save_pretrained(f"{out_dir}/model")
+                        save_train_state(out_dir, state, model.patchnorm)
+                        if hasattr(batch_iter, "close"):
+                            batch_iter.close()
+                        log(
+                            {
+                                "step": gstep,
+                                "warning": f"RSS {rss:.1f} GB > {rss_limit_gb:.1f} GB"
+                                " — checkpointed; raising for restart",
+                            }
+                        )
+                        raise RssLimitExceeded(gstep, rss, out_dir)
 
         # shut the prefetch worker down promptly (its generator-finally joins
         # the thread; a thread killed mid-device-call at interpreter teardown

@@ -409,6 +409,66 @@ def test_train_loop_sequence_parallel_and_pipeline():
     assert losses and all(np.isfinite(losses)), logs
 
 
+def test_rss_watchdog_checkpoints_and_raises(tmp_path):
+    """train(rss_limit_gb=tiny) must write a resumable checkpoint and raise
+    RssLimitExceeded after >=1 step (the OOM-kill-to-clean-restart path for
+    leaky device clients; train/loop.py:RssLimitExceeded)."""
+    from dct_autoencoder_tpu.train.checkpoint import has_train_state
+    from dct_autoencoder_tpu.train.loop import RssLimitExceeded, train
+
+    model, proc, _ = setup_model()
+    rng = np.random.default_rng(3)
+
+    def data_iter():
+        for _ in range(5):
+            ims = [rng.uniform(0.1, 0.9, size=(3, 32, 32)).astype(np.float32) for _ in range(3)]
+            ds = [proc.preprocess(im) for im in ims]
+            yield {k: [d[k] for d in ds] for k in ds[0]}
+
+    logs = []
+    try:
+        train(
+            model,
+            proc,
+            data_iter(),
+            batch_size=None,
+            max_iters=5,
+            learning_rate=1e-4,
+            rss_limit_gb=0.001,  # any real process is over this
+            log_every=1,
+            save_every=0,
+            out_dir=str(tmp_path),
+            log=lambda d: logs.append(d) if isinstance(d, dict) else None,
+        )
+        raise AssertionError("expected RssLimitExceeded")
+    except RssLimitExceeded as e:
+        assert e.step >= 1  # progress guard: at least one step per process
+        assert has_train_state(str(tmp_path))
+        assert any("checkpointed" in str(d.get("warning", "")) for d in logs)
+
+
+def test_restart_argv_rebuild():
+    """The self-restart argv strips stale resume flags (both forms) and
+    points all three at the checkpointed out dir."""
+    from dct_autoencoder_tpu.train.cli import _restart_argv
+
+    argv = [
+        "cli.py",
+        "--batch_size", "4",
+        "--train_state_resume_path", "/old",
+        "--model_resume_path=/old/model",
+        "--max_iters=5000",
+    ]
+    out = _restart_argv(argv, "/new")
+    assert "--batch_size" in out and "4" in out and "--max_iters=5000" in out
+    assert "/old" not in out and "--model_resume_path=/old/model" not in out
+    assert out[-3:] == [
+        "--train_state_resume_path=/new",
+        "--model_resume_path=/new/model",
+        "--resume_out_dir=/new",
+    ]
+
+
 def test_nan_policy_restore_survives_poisoned_batch(tmp_path):
     """Elastic recovery beyond the reference's abort: a batch that NaNs the
     loss rolls training back to the last checkpoint and the run completes."""
