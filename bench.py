@@ -414,12 +414,14 @@ def bench_ar():
         if B == 1
         else (lambda k: sample_codes_scan_batched(cfg, params, chans, poss, k))
     )
-    _ = int(np.asarray(sample(jax.random.PRNGKey(0)))[0, -1, 0])  # compile
+    _ = int(np.asarray(sample(jax.random.PRNGKey(0))[0, -1, 0]))  # compile
     best = float("inf")
     for i in range(3):
         t0 = time.time()
         out = sample(jax.random.PRNGKey(1 + i))
-        _ = int(np.asarray(out)[-1, -1, 0])
+        # sync via a device-side scalar slice — pulling the whole (B,S,8)
+        # array through the ~30 MB/s tunnel would bill transfer as sampling
+        _ = int(np.asarray(out[-1, -1, 0]))
         best = min(best, time.time() - t0)
     toks = B * S / best
     return {

@@ -22,7 +22,7 @@ import numpy as np
 from ..data.dataset import batched, load_and_transform_dataset, load_preprocessed_dataset
 from ..models.config import DCTAutoencoderConfig
 from ..models.factory import get_model_and_processor
-from ..train.loop import train, train_patch_norm
+from ..train.loop import RssLimitExceeded, train, train_patch_norm
 
 
 def create_output_directory(base: str = "out") -> str:
@@ -36,20 +36,32 @@ def _restart_argv(argv, out_dir: str):
     """argv for the RSS-watchdog self-restart: strip any existing resume
     flags (both `--flag value` and `--flag=value` forms) and point them at
     the just-checkpointed out_dir, which is also reused as the output dir."""
-    drop = ("--train_state_resume_path", "--model_resume_path", "--resume_out_dir")
-    out, skip = [], False
-    for a in argv:
-        if skip:
-            skip = False
-            continue
+    drop = (
+        "--train_state_resume_path",
+        "--model_resume_path",
+        "--resume_out_dir",
+        "--restart_count",
+    )
+    out, restarts = [], 0
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith(drop):
-            skip = "=" not in a  # two-token form: drop the value too
-            continue
-        out.append(a)
+            if "=" in a:
+                value = a.split("=", 1)[1]
+            else:
+                value = argv[i + 1] if i + 1 < len(argv) else ""
+                i += 1  # two-token form: drop the value too
+            if a.startswith("--restart_count") and value:
+                restarts = int(value)
+        else:
+            out.append(a)
+        i += 1
     out += [
         f"--train_state_resume_path={out_dir}",
         f"--model_resume_path={out_dir}/model",
         f"--resume_out_dir={out_dir}",
+        f"--restart_count={restarts + 1}",
     ]
     return out
 
@@ -107,6 +119,12 @@ def main(
     # internal (set by the self-restart): reuse this out dir instead of
     # creating a new timestamped one, so metrics/checkpoints stay together
     resume_out_dir: Optional[str] = None,
+    # internal (incremented by the self-restart): offsets the data shuffle
+    # seed so a restarted process draws a FRESH shuffle order instead of
+    # silently replaying the stream head (the optimizer state resumes
+    # exactly; data coverage across restarts is resampled, like epoch
+    # reshuffles — exact single-epoch coverage is not preserved)
+    restart_count: int = 0,
     # keep per-step model checkpoints (out/<ts>/ckpt_<step>) for tools/eval.py
     keep_checkpoints: bool = False,
     # VQ training knobs (reference threshold_ema_dead_code=15,
@@ -144,16 +162,19 @@ def main(
     # the model masks from image ids; skip building explicit attention masks
     processor.build_attn_mask = False
 
+    data_seed = seed + 1000003 * restart_count  # fresh shuffle per restart
+
     def make_data():
         if image_dataset_path_or_url is not None:
             return load_and_transform_dataset(
-                image_dataset_path_or_url, processor, shuffle_buffer=1000, seed=seed
+                image_dataset_path_or_url, processor, shuffle_buffer=1000,
+                seed=data_seed,
             )
         assert preprocessed_dataset_path_or_url is not None, (
             "pass --image_dataset_path_or_url or --preprocessed_dataset_path_or_url"
         )
         return load_preprocessed_dataset(
-            preprocessed_dataset_path_or_url, shuffle_buffer=1000, seed=seed
+            preprocessed_dataset_path_or_url, shuffle_buffer=1000, seed=data_seed
         )
 
     if resume_out_dir:
@@ -206,8 +227,6 @@ def main(
         for _ in range(max(epochs, 1)):
             yield from batched(make_data(), batch_size)
 
-    from ..train.loop import RssLimitExceeded
-
     try:
         model, state = train(
             model,
@@ -239,21 +258,14 @@ def main(
             vq_expire_every=vq_expire_every,
             log=log,
         )
-    except RssLimitExceeded as e:
-        # self-restart: exec the same command with resume flags pointing at
-        # the just-written checkpoint and the SAME out dir (fresh process =
-        # the leaked client memory is reclaimed; exact-resume checkpoints
-        # make the restart invisible in the metrics)
-        import sys
-
-        print(f"restarting after RSS limit: {e}")
-        argv = _restart_argv(sys.argv, e.out_dir)
-        sys.stdout.flush()
-        sys.stderr.flush()
-        os.execv(
-            sys.executable,
-            [sys.executable, "-m", "dct_autoencoder_tpu.train.cli"] + argv[1:],
-        )
+    except RssLimitExceeded:
+        # checkpointed + resumable. The CLI entry point (below) execv's a
+        # fresh process; PROGRAMMATIC callers (train/sweep.py, tests) get
+        # the exception — replacing THEIR process would destroy the outer
+        # program (its sys.argv is not this CLI's, its kwargs are not argv-
+        # representable). Library users: catch RssLimitExceeded and resume
+        # via train_state_resume_path/resume_out_dir, or pass rss_limit_gb=0.
+        raise
 
     if profile_dir:
         import jax
@@ -283,6 +295,35 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
-if __name__ == "__main__":
+def cli_entry() -> None:
+    """Real CLI entry: owns the RSS-watchdog self-restart (never runs for
+    library callers of main())."""
+    import sys
+
     args = _build_parser().parse_args()
-    main(**vars(args))
+    try:
+        main(**vars(args))
+    except RssLimitExceeded as e:
+        # fresh process = the leaked device-client memory is reclaimed;
+        # exact-resume checkpoints make the restart invisible in the metrics
+        print(f"restarting after RSS limit: {e}")
+        argv = _restart_argv(sys.argv, e.out_dir)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        try:
+            os.execv(
+                sys.executable,
+                [sys.executable, "-m", "dct_autoencoder_tpu.train.cli"] + argv[1:],
+            )
+        except OSError as exec_err:
+            raise RuntimeError(
+                f"self-restart exec failed ({exec_err}); the run IS "
+                f"checkpointed at {e.out_dir} — resume manually with "
+                f"--train_state_resume_path={e.out_dir} "
+                f"--model_resume_path={e.out_dir}/model "
+                f"--resume_out_dir={e.out_dir}"
+            ) from exec_err
+
+
+if __name__ == "__main__":
+    cli_entry()

@@ -462,11 +462,16 @@ def test_restart_argv_rebuild():
     out = _restart_argv(argv, "/new")
     assert "--batch_size" in out and "4" in out and "--max_iters=5000" in out
     assert "/old" not in out and "--model_resume_path=/old/model" not in out
-    assert out[-3:] == [
+    assert out[-4:] == [
         "--train_state_resume_path=/new",
         "--model_resume_path=/new/model",
         "--resume_out_dir=/new",
+        "--restart_count=1",
     ]
+    # a second restart increments the counter (fresh data shuffle per restart)
+    out2 = _restart_argv(out, "/new")
+    assert out2[-1] == "--restart_count=2"
+    assert sum(a.startswith("--restart_count") for a in out2) == 1
 
 
 def test_nan_policy_restore_survives_poisoned_batch(tmp_path):
