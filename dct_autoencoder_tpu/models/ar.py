@@ -252,7 +252,13 @@ def sample_codes_cached(
     return codes
 
 
-_SCAN_RUNNERS: dict = {}
+# Bounded LRU: each entry holds a compiled runner plus a persistent initial
+# KV-cache array (~100 MB at s=3072), so an unbounded dict keyed on
+# client-chosen (temperature, s, batch) would leak host/device memory per
+# distinct value (ADVICE r3).  8 entries covers a serving bucket ladder;
+# eviction drops the cache0 array and lets the executable be collected.
+_SCAN_RUNNERS_MAX = 8
+_SCAN_RUNNERS: "dict" = {}  # insertion-ordered (py3.7+); oldest evicted first
 
 
 def _scan_runner(config: ARConfig, s: int, temperature: float, batch: int):
@@ -267,9 +273,13 @@ def _scan_runner(config: ARConfig, s: int, temperature: float, batch: int):
     initial cache zeros are passed as ARGUMENTS (closing over them would
     embed ~100 MB of constants into the HLO at s=3072 and trip the remote
     compiler's payload limit)."""
-    key = (repr(config), s, float(temperature), batch)
+    # round temperature so float jitter (e.g. a client sending 0.70000001)
+    # cannot mint a new program; serving layers should additionally bucket s
+    key = (repr(config), s, round(float(temperature), 6), batch)
     hit = _SCAN_RUNNERS.get(key)
     if hit is not None:
+        # refresh LRU order
+        _SCAN_RUNNERS[key] = _SCAN_RUNNERS.pop(key)
         return hit
 
     C = config.num_codebooks
@@ -336,6 +346,8 @@ def _scan_runner(config: ARConfig, s: int, temperature: float, batch: int):
 
         run = jax.jit(batched)
 
+    while len(_SCAN_RUNNERS) >= _SCAN_RUNNERS_MAX:
+        _SCAN_RUNNERS.pop(next(iter(_SCAN_RUNNERS)))
     _SCAN_RUNNERS[key] = (run, cache0)
     return run, cache0
 
@@ -359,7 +371,10 @@ def sample_codes_scan(
     Same per-step rng stream as sample_codes_cached (split-before-step), so
     the two produce bit-identical codes given identical inputs (tested).
     The compiled runner is cached per (config, s, temperature) — repeat
-    calls at a serving shape pay zero retrace/recompile (tested)."""
+    calls at a serving shape pay zero retrace/recompile (tested).  The cache
+    is a bounded LRU of 8 entries (each holds a ~100 MB initial KV cache at
+    s=3072): serving layers must bucket s and quantize temperature, or every
+    distinct value pays a fresh compile when it falls out of the window."""
     run, cache0 = _scan_runner(config, channels.shape[1], temperature, batch=1)
     return run(params, cache0, channels, positions, rng)
 

@@ -46,13 +46,17 @@ def _restart_argv(argv, out_dir: str):
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith(drop):
+        # exact flag-name match (not startswith: a prefix match would
+        # silently delete any future flag sharing a prefix with a drop name,
+        # e.g. --restart_count_foo)
+        name = a.split("=", 1)[0]
+        if name in drop:
             if "=" in a:
                 value = a.split("=", 1)[1]
             else:
                 value = argv[i + 1] if i + 1 < len(argv) else ""
                 i += 1  # two-token form: drop the value too
-            if a.startswith("--restart_count") and value:
+            if name == "--restart_count" and value:
                 restarts = int(value)
         else:
             out.append(a)

@@ -905,7 +905,10 @@ def train(
             # OOM killer fires mid-interval
             # i > 0: a restarted process must make at least one step of
             # progress before it may restart again (no restart livelock)
-            if rss_limit_gb and i > 0 and i % log_every == 0:
+            # own cadence, NOT log_every: a user-set large log_every would
+            # let the ~batch-bytes/step leak blow through the headroom
+            # between checks (ADVICE r3)
+            if rss_limit_gb and i > 0 and i % min(log_every, 50) == 0:
                 rss = _rss_gb()
                 if rss > rss_limit_gb:
                     if not out_dir:
@@ -916,7 +919,15 @@ def train(
                                 "out_dir to checkpoint to — continuing at risk",
                             }
                         )
-                    elif np.isfinite(float(metrics.get("loss", np.nan))):
+                    elif not np.isfinite(float(metrics.get("loss", np.nan))):
+                        log(
+                            {
+                                "step": gstep,
+                                "warning": f"RSS {rss:.1f} GB over limit but loss "
+                                "is non-finite — skipping checkpoint, no restart",
+                            }
+                        )
+                    else:
                         from .checkpoint import save_train_state
 
                         model.params = state.params

@@ -184,6 +184,39 @@ def test_scan_sampler_runner_is_cached():
     r2, c2 = _scan_runner(cfg, 8, 1.0, 1)
     assert r1 is r2 and c1 is c2
     assert r1._cache_size() == 1  # one trace, reused
+    # float-jitter temperatures must not mint a new program
+    r3, _ = _scan_runner(cfg, 8, 1.0 + 1e-9, 1)
+    assert r3 is r1
+
+
+def test_scan_runner_cache_is_bounded():
+    """The runner cache is a small LRU: each entry pins a compiled program
+    plus an initial KV-cache array, so unbounded client-chosen keys would
+    leak memory per distinct value (ADVICE r3)."""
+    from dct_autoencoder_tpu.models import ar as ar_mod
+
+    cfg = tiny_ar()
+    saved = dict(ar_mod._SCAN_RUNNERS)
+    ar_mod._SCAN_RUNNERS.clear()
+    try:
+        for k in range(ar_mod._SCAN_RUNNERS_MAX + 3):
+            ar_mod._scan_runner(cfg, 8, 0.5 + 0.01 * k, 1)
+        assert len(ar_mod._SCAN_RUNNERS) == ar_mod._SCAN_RUNNERS_MAX
+        # most-recently-used survives; the oldest keys were evicted
+        r_last, _ = ar_mod._scan_runner(
+            cfg, 8, 0.5 + 0.01 * (ar_mod._SCAN_RUNNERS_MAX + 2), 1
+        )
+        assert len(ar_mod._SCAN_RUNNERS) == ar_mod._SCAN_RUNNERS_MAX
+        # a cache hit refreshes LRU order: hit the oldest surviving entry,
+        # insert a new one, and the hit entry must still be present
+        keys = list(ar_mod._SCAN_RUNNERS)
+        oldest = keys[0]
+        ar_mod._scan_runner(cfg, oldest[1], oldest[2], oldest[3])
+        ar_mod._scan_runner(cfg, 8, 0.99, 1)
+        assert oldest in ar_mod._SCAN_RUNNERS
+    finally:
+        ar_mod._SCAN_RUNNERS.clear()
+        ar_mod._SCAN_RUNNERS.update(saved)
 
 
 def test_batched_scan_sampling_matches_per_row():

@@ -471,7 +471,24 @@ def test_restart_argv_rebuild():
     # a second restart increments the counter (fresh data shuffle per restart)
     out2 = _restart_argv(out, "/new")
     assert out2[-1] == "--restart_count=2"
-    assert sum(a.startswith("--restart_count") for a in out2) == 1
+    assert sum(a.startswith("--restart_count=") for a in out2) == 1
+
+
+def test_restart_argv_exact_flag_match():
+    """Flags that merely share a prefix with a drop name must survive the
+    rebuild (ADVICE r3: startswith matching would silently delete them)."""
+    from dct_autoencoder_tpu.train.cli import _restart_argv
+
+    argv = [
+        "cli.py",
+        "--restart_count_foo=7",
+        "--model_resume_path_x", "keepme",
+        "--restart_count=3",
+    ]
+    out = _restart_argv(argv, "/new")
+    assert "--restart_count_foo=7" in out
+    assert "--model_resume_path_x" in out and "keepme" in out
+    assert out[-1] == "--restart_count=4"
 
 
 def test_nan_policy_restore_survives_poisoned_batch(tmp_path):
