@@ -112,6 +112,7 @@ def load_and_transform_dataset(
     min_res_factor: int = 12,
     size_buckets=None,
     preprocess_batch_size: int = 0,
+    augment=None,
 ) -> Iterator[Dict[str, Any]]:
     """Raw image shards -> per-image preprocess dicts (reference dataset.py:35-89).
 
@@ -124,7 +125,10 @@ def load_and_transform_dataset(
         is bounded (pass `default_size_buckets()` or your own list);
       * preprocess_batch_size: accumulate that many images and run ONE vmapped
         preprocess per shape group (extractor.preprocess_many), amortizing
-        dispatch + compile over the group.
+        dispatch + compile over the group;
+      * augment: a data.augment.Augmenter (or any (c,h,w)->(c,h,w) callable)
+        applied after the size normalization and before the on-device DCT —
+        shape-preserving, so it mints no new compiles.
     """
     min_res = dct_processor.patch_size * min_res_factor
     max_size = max(
@@ -163,6 +167,8 @@ def load_and_transform_dataset(
                     im = resize_to_bucket(im, size_buckets)
                 else:
                     im = _resize_cap(im, max_size)
+                if augment is not None:
+                    im = augment(im)
                 extra = {
                     k: v
                     for k, v in sample.items()

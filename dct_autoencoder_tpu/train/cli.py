@@ -131,6 +131,15 @@ def main(
     restart_count: int = 0,
     # keep per-step model checkpoints (out/<ts>/ckpt_<step>) for tools/eval.py
     keep_checkpoints: bool = False,
+    # host-side augmentation on the raw-image path (data/augment.py):
+    # shape-preserving random-resized-crop + hflip + optional color jitter,
+    # seeded from the data seed (fresh draws per epoch and per restart).
+    # The reference has no augmentation lever (its dataset.py:35-89 only
+    # resizes); small corpora memorize without one (docs/calibrated_run_r3b)
+    augment: bool = False,
+    augment_scale_min: float = 0.3,
+    augment_hflip: float = 0.5,
+    augment_color_jitter: float = 0.0,
     # VQ training knobs (reference threshold_ema_dead_code=15,
     # modeling_dct_autoencoder.py:77; kmeans init + expiry cadence)
     vq_kmeans_init: bool = True,
@@ -167,18 +176,33 @@ def main(
     processor.build_attn_mask = False
 
     data_seed = seed + 1000003 * restart_count  # fresh shuffle per restart
+    epoch_counter = [0]  # fresh shuffle + augmentation draws per epoch
 
     def make_data():
+        stream_seed = data_seed + 7919 * epoch_counter[0]
+        epoch_counter[0] += 1
         if image_dataset_path_or_url is not None:
+            aug = None
+            if augment:
+                from ..data.augment import AugmentConfig, Augmenter
+
+                aug = Augmenter(
+                    AugmentConfig(
+                        scale=(augment_scale_min, 1.0),
+                        hflip=augment_hflip,
+                        color_jitter=augment_color_jitter,
+                    ),
+                    seed=stream_seed,
+                )
             return load_and_transform_dataset(
                 image_dataset_path_or_url, processor, shuffle_buffer=1000,
-                seed=data_seed,
+                seed=stream_seed, augment=aug,
             )
         assert preprocessed_dataset_path_or_url is not None, (
             "pass --image_dataset_path_or_url or --preprocessed_dataset_path_or_url"
         )
         return load_preprocessed_dataset(
-            preprocessed_dataset_path_or_url, shuffle_buffer=1000, seed=data_seed
+            preprocessed_dataset_path_or_url, shuffle_buffer=1000, seed=stream_seed
         )
 
     if resume_out_dir:
