@@ -300,8 +300,14 @@ def _scan_runner(config: ARConfig, s: int, temperature: float, batch: int):
         lambda sd: jnp.zeros(sd.shape, sd.dtype), var_shapes["cache"]
     )
 
-    def one_row(params, cache, channels, positions, rng):
-        """channels (s,), positions (s, 2), rng key -> codes (s, C)."""
+    def one_row(params, cache, channels, positions, rng, prefix_codes, prefix_len):
+        """channels (s,), positions (s, 2), rng key -> codes (s, C).
+
+        Tokens t < prefix_len are FORCED to prefix_codes[t] (teacher-forced
+        prefix conditioning: the forced token is what feeds step t+1), so the
+        model samples a continuation of a given prefix — the serving
+        /generate contract.  prefix_len=0 with zero prefix_codes is the
+        unconditional path and compiles to the same single program."""
         ch_xs = channels[:, None, None]  # (s, 1, 1)
         pos_xs = positions[:, None, None, :]  # (s, 1, 1, 2)
         t_xs = jnp.arange(s)
@@ -309,7 +315,7 @@ def _scan_runner(config: ARConfig, s: int, temperature: float, batch: int):
 
         def step(carry, xs):
             cache, prev, rng = carry
-            ch_t, pos_t, t = xs
+            ch_t, pos_t, t, forced = xs
             rng, sub = jax.random.split(rng)
             logits, new_vars = model.apply(
                 {"params": params, "cache": cache},
@@ -321,27 +327,25 @@ def _scan_runner(config: ARConfig, s: int, temperature: float, batch: int):
                 nxt = jnp.argmax(lt, axis=-1)
             else:
                 nxt = jax.random.categorical(sub, lt / temperature, axis=-1)
-            nxt = nxt.astype(jnp.int32)
+            nxt = jnp.where(t < prefix_len, forced, nxt.astype(jnp.int32))
             return (new_vars["cache"], nxt[None, None, :], rng), nxt
 
         (_, _, _), codes = jax.lax.scan(
-            step, (cache, prev0, rng), (ch_xs, pos_xs, t_xs)
+            step, (cache, prev0, rng), (ch_xs, pos_xs, t_xs, prefix_codes)
         )
         return codes  # (s, C)
 
     if batch == 1:
         run = jax.jit(
-            lambda params, cache, channels, positions, rng: one_row(
-                params, cache, channels[0], positions[0], rng
+            lambda params, cache, channels, positions, rng, prefix_codes, prefix_len: one_row(
+                params, cache, channels[0], positions[0], rng,
+                prefix_codes[0], prefix_len[0],
             )[None]
         )
     else:
-        def batched(params, cache, channels, positions, rng):
-            keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
-                jnp.arange(batch)
-            )
-            return jax.vmap(one_row, in_axes=(None, None, 0, 0, 0))(
-                params, cache, channels, positions, keys
+        def batched(params, cache, channels, positions, keys, prefix_codes, prefix_lens):
+            return jax.vmap(one_row, in_axes=(None, None, 0, 0, 0, 0, 0))(
+                params, cache, channels, positions, keys, prefix_codes, prefix_lens
             )
 
         run = jax.jit(batched)
@@ -352,6 +356,106 @@ def _scan_runner(config: ARConfig, s: int, temperature: float, batch: int):
     return run, cache0
 
 
+def canonical_layout(
+    config: ARConfig,
+    n_tokens: int,
+    patch_h: Optional[int] = None,
+    patch_w: Optional[int] = None,
+    channel_importances=(8.0, 1.0, 1.0),
+):
+    """Static coarse-to-fine token layout for unconditional generation.
+
+    Orders the (channel, row, col) grid by the STATIC part of the
+    extractor's importance score (reference feature_extraction...py:401-416:
+    0.1*|patch|_inf + (-(h+w))/channel_importances — the magnitude term is
+    data-dependent, the rest is not): -(h+w)/importance(c), descending, ties
+    broken by (c, h, w).  Matches the coarse-to-fine order trained token
+    records follow on average, so an AR model trained on real records can
+    sample onto this layout.  Returns (channels (1, n), positions (1, n, 2))
+    int32 arrays ready for sample_codes_scan."""
+    import numpy as np
+
+    ph = patch_h or config.max_patch_h
+    pw = patch_w or config.max_patch_w
+    nc = config.image_channels
+    ci = np.asarray(channel_importances[:nc], np.float64)
+    cs, hs, ws = np.meshgrid(
+        np.arange(nc), np.arange(ph), np.arange(pw), indexing="ij"
+    )
+    cs, hs, ws = cs.ravel(), hs.ravel(), ws.ravel()
+    score = -(hs + ws) / ci[cs]
+    # primary: score desc; ties: (c, h, w) asc (lexsort keys minor->major)
+    order = np.lexsort((ws, hs, cs, -score))
+    assert n_tokens <= order.size, (n_tokens, order.size)
+    order = order[:n_tokens]
+    channels = cs[order][None].astype(np.int32)
+    positions = np.stack([hs[order], ws[order]], axis=-1)[None].astype(np.int32)
+    return channels, positions
+
+
+def _ar_path_str(path) -> str:
+    return "/".join(
+        str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+    )
+
+
+def save_ar_model(path: str, config: ARConfig, params) -> None:
+    """Persist an AR checkpoint (ar_config.json + ar_params.npz) so serving
+    (/generate in tools/serve.py) can load what tools/train_ar_example.py
+    trained — the same two-file split the tokenizer checkpoints use."""
+    import json
+    import os
+
+    import numpy as np
+
+    os.makedirs(path, exist_ok=True)
+    cfg = dataclasses.asdict(config)
+    with open(os.path.join(path, "ar_config.json"), "w") as f:
+        json.dump(cfg, f, indent=2)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    np.savez(
+        os.path.join(path, "ar_params.npz"),
+        **{_ar_path_str(p): np.asarray(v) for p, v in flat},
+    )
+
+
+def load_ar_model(path: str):
+    """Inverse of save_ar_model -> (ARConfig, params)."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "ar_config.json")) as f:
+        cfg = json.load(f)
+    tr = cfg.pop("transformer")
+    # json turns tuples into lists; tuple-typed fields must be hashable again
+    tr = {k: tuple(v) if isinstance(v, list) else v for k, v in tr.items()}
+    config = ARConfig(transformer=TransformerConfig(**tr), **cfg)
+
+    model = ARTokenModel(config)
+    C = config.num_codebooks
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 1, C), jnp.int32),
+            jnp.zeros((1, 1), jnp.int32),
+            jnp.zeros((1, 1, 2), jnp.int32),
+            jnp.zeros((1, 1), bool),
+            training=False,
+        )
+    )
+    loaded = np.load(os.path.join(path, "ar_params.npz"))
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes["params"])
+    leaves = []
+    for p, sd in flat:
+        key = _ar_path_str(p)
+        arr = loaded[key]
+        assert arr.shape == sd.shape, (key, arr.shape, sd.shape)
+        leaves.append(jnp.asarray(arr))
+    return config, jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def sample_codes_scan(
     config: ARConfig,
     params,
@@ -359,9 +463,15 @@ def sample_codes_scan(
     positions: jnp.ndarray,  # (1, s, 2)
     rng: jax.Array,
     temperature: float = 1.0,
+    prefix_codes: Optional[jnp.ndarray] = None,  # (1, s, C)
+    prefix_len: int = 0,
 ) -> jnp.ndarray:
     """KV-cached sampling with the WHOLE decode loop inside one compiled
     program (`lax.scan` carrying the cache) — the TPU serving sampler.
+
+    prefix_codes + prefix_len force the first prefix_len tokens (teacher-
+    forced conditioning) and sample the continuation; prefix_len rides as a
+    traced scalar, so any prefix length reuses the same compiled runner.
 
     sample_codes_cached dispatches one device program per token; behind a
     remote-dispatch link (this environment's tunnel) or any host-bound
@@ -375,8 +485,12 @@ def sample_codes_scan(
     is a bounded LRU of 8 entries (each holds a ~100 MB initial KV cache at
     s=3072): serving layers must bucket s and quantize temperature, or every
     distinct value pays a fresh compile when it falls out of the window."""
-    run, cache0 = _scan_runner(config, channels.shape[1], temperature, batch=1)
-    return run(params, cache0, channels, positions, rng)
+    s = channels.shape[1]
+    run, cache0 = _scan_runner(config, s, temperature, batch=1)
+    if prefix_codes is None:
+        prefix_codes = jnp.zeros((1, s, config.num_codebooks), jnp.int32)
+    plen = jnp.asarray([prefix_len], jnp.int32)
+    return run(params, cache0, channels, positions, rng, prefix_codes, plen)
 
 
 def sample_codes_scan_batched(
@@ -384,12 +498,17 @@ def sample_codes_scan_batched(
     params,
     channels: jnp.ndarray,  # (b, s) per-image target layouts (same s bucket)
     positions: jnp.ndarray,  # (b, s, 2)
-    rng: jax.Array,
+    rng: Optional[jax.Array],
     temperature: float = 1.0,
+    keys: Optional[jnp.ndarray] = None,  # (b,) per-row PRNG keys
+    prefix_codes: Optional[jnp.ndarray] = None,  # (b, s, C)
+    prefix_lens: Optional[jnp.ndarray] = None,  # (b,) int32
 ) -> jnp.ndarray:
     """Batched one-program sampling: vmap of the single-row scan sampler over
     b independent layouts.  Each row gets its own rng stream
-    (`fold_in(rng, row)`) and its own KV cache (the vmapped cache grows a
+    (`fold_in(rng, row)`, or the explicit per-row `keys` — a serving batcher
+    passes per-request keys so a request's draw does not depend on which
+    batch it landed in) and its own KV cache (the vmapped cache grows a
     leading b axis, so XLA batches the per-step GEMVs into GEMMs — the b=1
     sampler is per-step-latency-bound on TPU, so sampling N layouts together
     costs roughly the same wall clock as one).  Row i draws the same rng
@@ -399,7 +518,20 @@ def sample_codes_scan_batched(
     at rounding level (~1e-2 measured) and a near-tie categorical draw can
     flip (measured 1 of 256 tokens on a random-init model, on-chip) — the
     sampled DISTRIBUTION is the same; only replay-exactness is per-program.
-    The compiled runner is cached per (config, s, temperature, b)."""
+    The compiled runner is cached per (config, s, temperature, b).
+
+    prefix_codes + per-row prefix_lens force each row's first tokens
+    (teacher-forced prefix conditioning), sampling the continuations."""
     b, s = channels.shape
     run, cache0 = _scan_runner(config, s, temperature, batch=b)
-    return run(params, cache0, channels, positions, rng)
+    if keys is None:
+        assert rng is not None, "pass rng or per-row keys"
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(b))
+    if prefix_codes is None:
+        prefix_codes = jnp.zeros((b, s, config.num_codebooks), jnp.int32)
+    if prefix_lens is None:
+        prefix_lens = jnp.zeros((b,), jnp.int32)
+    if b == 1:
+        # the batch=1 runner takes a single key, not a (1,)-keys array
+        return run(params, cache0, channels, positions, keys[0], prefix_codes, prefix_lens)
+    return run(params, cache0, channels, positions, keys, prefix_codes, prefix_lens)

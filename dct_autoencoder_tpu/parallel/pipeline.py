@@ -25,11 +25,13 @@ Design notes (TPU/XLA-first):
     per-layer params (`layers_{i}`, models/transformer.py) — checkpoints,
     init, and every non-pp code path keep the plain per-layer layout.  XLA
     SPMD partitions the stacking concat so each device materializes only
-    its stage's slice of the STACKED view; the master per-layer params in
-    the train state stay replicated (immaterial at tokenizer scale, ~100 MB
-    — shard them with the TP rules or ZeRO-style specs if that ever binds;
-    pp here buys activation locality and point-to-point comms, not param
-    memory).
+    its stage's slice of the STACKED view.  The master per-layer params AND
+    their Adam moments live model-axis-sharded at rest
+    (train.loop.model_state_sharding, pinned on jit in/out): pp buys
+    parameter/optimizer memory (matched matrices split S ways), not just
+    activation locality — the big-matrix layout matches the Megatron TP
+    rules, so the per-step gather into the stacked view is the only
+    param-sized collective.
   * Attention metadata (packed image ids + pad mask, AttentionContext)
     rotates with the activations — each stage always sees the metadata of
     the microbatch it is processing.

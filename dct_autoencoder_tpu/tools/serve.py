@@ -8,7 +8,17 @@ Endpoints:
   POST /encode  {"image": [[...]], ...}      -> token record (to_dict schema)
   POST /decode  {record}                     -> {"image": [[...]]}
   POST /reconstruct {"image": ...}           -> {"image": ...}
-  GET  /healthz                              -> {"ok": true, ...}
+  POST /generate {"n_tokens", "temperature", "seed", "prefix"?: [tokens],
+                  "return_codes"?: bool}     -> {"image", "record"?}
+                 (needs --ar_model_path; prefix tokens use the to_dict
+                  schema, teacher-forced — class/prefix -> tokens -> image)
+  GET  /healthz  -> {"ok", "served", "batches", "queue_depth", "rejected",
+                     "expired", "generate"}
+
+Overload behavior: the request queue is BOUNDED (--max_queue; overflow ->
+HTTP 429 with Retry-After) and each request carries a deadline
+(--request_deadline_s; exceeded -> HTTP 504, expired-in-queue requests are
+dropped before costing device time).
 
 Binary codec (production path): send `Content-Type: application/octet-stream`
 with an .npy body instead of JSON —
@@ -50,27 +60,62 @@ from typing import List, Optional
 import numpy as np
 
 
-class _Request:
-    __slots__ = ("kind", "payload", "event", "result", "error")
+class QueueFull(Exception):
+    """Bounded request queue is full — the HTTP layer answers 429."""
 
-    def __init__(self, kind: str, payload):
+
+class DeadlineExceeded(Exception):
+    """Request passed its deadline before completing — HTTP 504."""
+
+
+class _Request:
+    __slots__ = ("kind", "payload", "event", "result", "error", "deadline")
+
+    def __init__(self, kind: str, payload, deadline: Optional[float] = None):
         self.kind = kind
         self.payload = payload
         self.event = threading.Event()
         self.result = None
         self.error: Optional[str] = None
+        self.deadline = deadline  # time.monotonic() timestamp or None
+
+    def group_key(self):
+        """Requests sharing a key may ride one pipeline/sampler call."""
+        if self.kind == "generate":
+            # one batched sampler program per (s, temperature) bucket
+            return ("generate", self.payload["n_tokens"], self.payload["temperature"])
+        return (self.kind,)
 
 
 class BatchingServer:
-    """Dynamic micro-batcher in front of a DCTPipeline."""
+    """Dynamic micro-batcher in front of a DCTPipeline.
 
-    def __init__(self, pipeline, max_batch: int = 16, batch_timeout_ms: float = 5.0):
+    Burst robustness (measured pathology in docs/serving_r3.md: conc-8 p99
+    hit 23 s with an unbounded queue): the queue is BOUNDED (max_queue) —
+    overflow fails fast with QueueFull (HTTP 429 + Retry-After) instead of
+    silently stretching tail latency — and every request carries a deadline;
+    the batcher drops requests that expired while queued (HTTP 504) rather
+    than spending device time on answers nobody is waiting for."""
+
+    def __init__(
+        self,
+        pipeline,
+        max_batch: int = 16,
+        batch_timeout_ms: float = 5.0,
+        max_queue: int = 64,
+        request_deadline_s: float = 120.0,
+        ar_model=None,
+    ):
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.batch_timeout = batch_timeout_ms / 1e3
-        self.q: "queue.Queue[_Request]" = queue.Queue()
+        self.request_deadline_s = request_deadline_s
+        self.ar_model = ar_model  # (ARConfig, params) or None
+        self.q: "queue.Queue[_Request]" = queue.Queue(maxsize=max(max_queue, 1))
         self.n_served = 0
         self.n_batches = 0
+        self.n_rejected = 0
+        self.n_expired = 0
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True, name="batcher")
         self._worker.start()
@@ -80,11 +125,24 @@ class BatchingServer:
     def submit(self, kind: str, payload, timeout: float = 600.0):
         # generous default: the FIRST request of a new image shape compiles
         # the preprocess/forward programs (minutes on remote-compile links);
-        # steady-state requests return in milliseconds
-        req = _Request(kind, payload)
-        self.q.put(req)
+        # steady-state requests return in milliseconds.  The effective wait
+        # is min(timeout, request_deadline_s).
+        deadline = None
+        if self.request_deadline_s and self.request_deadline_s > 0:
+            deadline = time.monotonic() + self.request_deadline_s
+            timeout = min(timeout, self.request_deadline_s)
+        req = _Request(kind, payload, deadline)
+        try:
+            self.q.put_nowait(req)
+        except queue.Full:
+            self.n_rejected += 1
+            raise QueueFull(
+                f"request queue full ({self.q.maxsize}); retry later"
+            ) from None
         if not req.event.wait(timeout):
-            raise TimeoutError("request timed out")
+            raise DeadlineExceeded(f"request exceeded {timeout:.0f}s deadline")
+        if req.error == "deadline":
+            raise DeadlineExceeded("request expired while queued")
         if req.error is not None:
             raise RuntimeError(req.error)
         return req.result
@@ -117,13 +175,24 @@ class BatchingServer:
             batch = self._collect()
             if not batch:
                 continue
-            # group by kind; one pipeline call per (kind) group
-            by_kind = {}
+            # expire requests whose deadline passed while queued: device
+            # time on an answer nobody is waiting for only delays the rest
+            now = time.monotonic()
+            live = []
             for r in batch:
-                by_kind.setdefault(r.kind, []).append(r)
-            for kind, reqs in by_kind.items():
+                if r.deadline is not None and now > r.deadline:
+                    self.n_expired += 1
+                    r.error = "deadline"
+                    r.event.set()
+                else:
+                    live.append(r)
+            # group by key; one pipeline/sampler call per group
+            by_key = {}
+            for r in live:
+                by_key.setdefault(r.group_key(), []).append(r)
+            for key, reqs in by_key.items():
                 try:
-                    self._run_group(kind, reqs)
+                    self._run_group(key[0], reqs)
                 except Exception as e:  # per-group failure -> fail its requests
                     for r in reqs:
                         r.error = f"{type(e).__name__}: {e}"
@@ -157,11 +226,90 @@ class BatchingServer:
                 outs = self.pipeline.reconstruct(images)
             for r, im in zip(reqs, outs):
                 r.result = im
+        elif kind == "generate":
+            self._run_generate(reqs)
         else:
             raise ValueError(f"unknown kind {kind}")
         self.n_served += len(reqs)
         for r in reqs:
             r.event.set()
+
+    def _run_generate(self, reqs: List[_Request]):
+        """AR token generation -> tokenizer decode, micro-batched.
+
+        Every request in the group shares (n_tokens, temperature) — one
+        cached batched-scan runner program per bucket (models/ar.py).  Each
+        request keeps its own PRNG key (per-row `keys`), so its draw does
+        not depend on which batch it landed in, and may carry a token
+        PREFIX (to_dict codes schema) that the sampler teacher-forces —
+        class/prefix -> tokens -> image (reference decode_gif.py:60-77
+        decode contract)."""
+        import jax
+
+        from ..models.ar import canonical_layout, sample_codes_scan_batched
+
+        assert self.ar_model is not None, "serve started without --ar_model_path"
+        ar_cfg, ar_params = self.ar_model
+        tok_cfg = self.pipeline.model.config
+        s = reqs[0].payload["n_tokens"]
+        temperature = reqs[0].payload["temperature"]
+        ph = min(ar_cfg.max_patch_h, tok_cfg.max_patch_h)
+        pw = min(ar_cfg.max_patch_w, tok_cfg.max_patch_w)
+        chans, poss = canonical_layout(ar_cfg, s, patch_h=ph, patch_w=pw)
+        b = len(reqs)
+        C = ar_cfg.num_codebooks
+        prefix_codes = np.zeros((b, s, C), np.int32)
+        prefix_lens = np.zeros((b,), np.int32)
+        chans_b = np.repeat(chans, b, axis=0)
+        poss_b = np.repeat(poss, b, axis=0)
+        keys = []
+        for i, r in enumerate(reqs):
+            keys.append(jax.random.PRNGKey(int(r.payload.get("seed", 0))))
+            prefix = r.payload.get("prefix") or []
+            n = min(len(prefix), s)
+            for t, tok in enumerate(prefix[:n]):
+                prefix_codes[i, t] = tok["data"]
+                chans_b[i, t] = tok["c"]
+                poss_b[i, t] = (tok["h"], tok["w"])
+            prefix_lens[i] = n
+        codes = np.asarray(
+            sample_codes_scan_batched(
+                ar_cfg,
+                ar_params,
+                np.ascontiguousarray(chans_b),
+                np.ascontiguousarray(poss_b),
+                rng=None,
+                temperature=temperature,
+                keys=jax.numpy.stack(keys),
+                prefix_codes=prefix_codes,
+                prefix_lens=prefix_lens,
+            )
+        )
+        records = []
+        for i, r in enumerate(reqs):
+            records.append(
+                {
+                    "size": (ph, pw),
+                    "original_size": tuple(
+                        r.payload.get(
+                            "original_size",
+                            (ph * tok_cfg.patch_size, pw * tok_cfg.patch_size),
+                        )
+                    ),
+                    "codes": [
+                        {
+                            "c": int(chans_b[i, t]),
+                            "h": int(poss_b[i, t, 0]),
+                            "w": int(poss_b[i, t, 1]),
+                            "data": codes[i, t].tolist(),
+                        }
+                        for t in range(s)
+                    ],
+                }
+            )
+        images = self.pipeline.decode(records)
+        for r, rec, im in zip(reqs, records, images):
+            r.result = {"image": im, "record": rec}
 
 
 def _decode_npy_image(raw: bytes) -> np.ndarray:
@@ -215,6 +363,11 @@ def make_handler(server: BatchingServer):
                         "ok": True,
                         "served": server.n_served,
                         "batches": server.n_batches,
+                        "queue_depth": server.q.qsize(),
+                        "queue_max": server.q.maxsize,
+                        "rejected": server.n_rejected,
+                        "expired": server.n_expired,
+                        "generate": server.ar_model is not None,
                     },
                 )
             else:
@@ -222,7 +375,7 @@ def make_handler(server: BatchingServer):
 
         def do_POST(self):
             kind = self.path.strip("/")
-            if kind not in ("encode", "decode", "reconstruct"):
+            if kind not in ("encode", "decode", "reconstruct", "generate"):
                 self._json(404, {"error": "not found"})
                 return
             try:
@@ -233,13 +386,45 @@ def make_handler(server: BatchingServer):
                 if binary_in and kind in ("encode", "reconstruct"):
                     payload = _decode_npy_image(raw)
                 else:
-                    payload = json.loads(raw)
+                    payload = json.loads(raw) if raw else {}
                     if kind in ("encode", "reconstruct"):
                         payload = payload["image"]
                 submit_kind = kind
                 if kind == "reconstruct" and not binary_out:
                     submit_kind = "reconstruct_f32"  # float-exact JSON path
+                if kind == "generate":
+                    if server.ar_model is None:
+                        self._json(
+                            400, {"error": "no AR model loaded (--ar_model_path)"}
+                        )
+                        return
+                    # bucket the program keys: token counts to multiples of
+                    # 64, temperature to 2 decimals — every distinct
+                    # (s, temperature, batch) mints a compiled runner
+                    # (bounded LRU in models/ar.py, but compiles cost
+                    # minutes on remote links)
+                    nt = int(payload.get("n_tokens", 256))
+                    nt = max(64, ((nt + 63) // 64) * 64)
+                    grid = (
+                        server.ar_model[0].image_channels
+                        * server.ar_model[0].max_patch_h
+                        * server.ar_model[0].max_patch_w
+                    )
+                    payload["n_tokens"] = min(nt, grid)
+                    payload["temperature"] = round(
+                        float(payload.get("temperature", 1.0)), 2
+                    )
                 result = server.submit(submit_kind, payload)
+                if kind == "generate":
+                    im = np.asarray(result["image"])
+                    if binary_out:
+                        self._npy(200, im)
+                        return
+                    out = {"image": im.tolist()}
+                    if payload.get("return_codes"):
+                        out["record"] = result["record"]
+                    self._json(200, out)
+                    return
                 if kind in ("decode", "reconstruct"):
                     if binary_out:
                         self._npy(200, np.asarray(result))
@@ -249,6 +434,16 @@ def make_handler(server: BatchingServer):
                         arr = arr.astype(np.float32) / 255.0
                     result = {"image": arr.tolist()}
                 self._json(200, result)
+            except QueueFull as e:
+                self.send_response(429)
+                self.send_header("Retry-After", "1")
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except DeadlineExceeded as e:
+                self._json(504, {"error": str(e)})
             except Exception as e:
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
@@ -260,8 +455,23 @@ class _Server(ThreadingHTTPServer):
     request_queue_size = 128
 
 
-def serve(pipeline, port: int = 8080, max_batch: int = 16, batch_timeout_ms: float = 5.0):
-    batcher = BatchingServer(pipeline, max_batch, batch_timeout_ms)
+def serve(
+    pipeline,
+    port: int = 8080,
+    max_batch: int = 16,
+    batch_timeout_ms: float = 5.0,
+    max_queue: int = 64,
+    request_deadline_s: float = 120.0,
+    ar_model=None,
+):
+    batcher = BatchingServer(
+        pipeline,
+        max_batch,
+        batch_timeout_ms,
+        max_queue=max_queue,
+        request_deadline_s=request_deadline_s,
+        ar_model=ar_model,
+    )
     httpd = _Server(("0.0.0.0", port), make_handler(batcher))
     httpd.batcher = batcher  # for tests / introspection
     return httpd
@@ -279,6 +489,14 @@ def main():
     # token count compiles a fresh device program (minutes on remote links)
     p.add_argument("--pad_rows_to", type=int, default=8)
     p.add_argument("--pad_tokens_to", type=int, default=128)
+    # burst robustness: bounded queue (429 + Retry-After on overflow) and a
+    # per-request deadline (504; expired-in-queue requests are dropped
+    # before they cost device time)
+    p.add_argument("--max_queue", type=int, default=64)
+    p.add_argument("--request_deadline_s", type=float, default=120.0)
+    # AR checkpoint (models/ar.py save_ar_model layout, e.g.
+    # out_ar/ar_model from tools/train_ar_example.py): enables /generate
+    p.add_argument("--ar_model_path", default=None)
     args = p.parse_args()
 
     from ..pipeline import DCTPipeline
@@ -294,7 +512,21 @@ def main():
         pad_rows_to=args.pad_rows_to,
         pad_tokens_to=args.pad_tokens_to,
     )
-    httpd = serve(pipe, args.port, args.max_batch, args.batch_timeout_ms)
+    ar_model = None
+    if args.ar_model_path:
+        from ..models.ar import load_ar_model
+
+        ar_model = load_ar_model(args.ar_model_path)
+        print(f"AR model loaded from {args.ar_model_path} — /generate enabled")
+    httpd = serve(
+        pipe,
+        args.port,
+        args.max_batch,
+        args.batch_timeout_ms,
+        max_queue=args.max_queue,
+        request_deadline_s=args.request_deadline_s,
+        ar_model=ar_model,
+    )
     print(f"serving on :{args.port} (max_batch={args.max_batch})")
     httpd.serve_forever()
 

@@ -132,6 +132,12 @@ def main(
                 f.write(json.dumps({"step": i, "loss": losses[-1]}) + "\n")
     print(f"ar loss {losses[0]:.4f} -> {losses[-1]:.4f}")
 
+    # persist the AR checkpoint for the serving daemon's /generate endpoint
+    from ..models.ar import save_ar_model
+
+    save_ar_model(os.path.join(out, "ar_model"), ar_cfg, params)
+    print(f"ar checkpoint written to {out}/ar_model")
+
     # sample codes for a real layout and decode through the tokenizer
     tmpl = records[0]
     n = min(len(tmpl["codes"]), max_len)

@@ -527,14 +527,32 @@ def _vq_codebook_surgery_impl(
     return params, vq_stats, opt_state
 
 
-def zero1_state_sharding(
-    state: TrainState, mesh: Mesh, min_size: int = 2**13
+def model_state_sharding(
+    state: TrainState,
+    mesh: Mesh,
+    tensor_parallel: bool = False,
+    zero1: bool = False,
+    min_size: int = 2**13,
 ) -> TrainState:
-    """TrainState-shaped NamedSharding tree for ZeRO-1: params/step/vq_stats
-    replicated, optimizer moments data-sharded (parallel.mesh.zero1_opt_spec).
-    Use it both as the jit in/out sharding AND to `jax.device_put` the state
-    before the first step — jit with explicit in_shardings requires committed
-    arrays to already match.
+    """TrainState-shaped NamedSharding tree for params-at-rest sharding.
+
+    tensor_parallel=True shards the master params AND their optimizer
+    moments over the `model` axis by the Megatron TP rules
+    (parallel.mesh._TP_RULES) — under tp the layout matches the compute
+    layout (no per-step reshard); under pp the per-layer masters feed the
+    (L,)-stacked stage view through one gather, and what pp buys is
+    per-device parameter/moment MEMORY (total/n_model for the matched
+    matrices), closing the replicated-masters caveat in
+    parallel/pipeline.py.  Leaves whose shapes don't fit a rule (e.g.
+    blockwise-int8 moment payloads) fall back to the zero1 spec or
+    replication, so the layout composes with --opt_8bit.
+
+    zero1=True additionally shards remaining sizeable optimizer moments
+    over the DATA axis (parallel.mesh.zero1_opt_spec).
+
+    Use the result both as the jit in/out sharding AND to `jax.device_put`
+    the state before the first step — jit with explicit in_shardings
+    requires committed arrays to already match.
 
     Donation hazard: device_put ALIASES the device-0 buffer for replicated
     shardings, so after the placed state is donated to the jitted step the
@@ -542,15 +560,63 @@ def zero1_state_sharding(
     too.  train() reassigns model.params from the live state before any use;
     external callers must not touch pre-placement arrays after step 1 (see
     tests/test_parallel.py::test_zero1_checkpoint_resume_exact)."""
-    from ..parallel.mesh import zero1_opt_sharding
+    from jax.sharding import NamedSharding
+
+    from ..parallel.mesh import (
+        _TP_RULES,
+        _path_str,
+        param_sharding,
+        zero1_opt_sharding,
+    )
 
     rep = replicated(mesh)
+    n_model = mesh.shape.get("model", 1)
+
+    def fits(leaf, spec) -> bool:
+        shape = tuple(getattr(leaf, "shape", ()) or ())
+        if len(spec) > len(shape):
+            return False
+        for ax, name in enumerate(spec):
+            if name is not None and shape[ax] % n_model != 0:
+                return False
+        return True
+
+    if tensor_parallel:
+        params_sh = param_sharding(state.params, mesh, tensor_parallel=True)
+    else:
+        params_sh = jax.tree_util.tree_map(lambda _: rep, state.params)
+
+    if zero1:
+        opt_sh = zero1_opt_sharding(state.opt_state, mesh, min_size)
+    else:
+        opt_sh = jax.tree_util.tree_map(lambda _: rep, state.opt_state)
+    if tensor_parallel and n_model > 1:
+
+        def tp_or(path, leaf, fallback):
+            ps = _path_str(path)
+            for pat, spec in _TP_RULES:
+                if pat.match(ps) and fits(leaf, spec):
+                    return NamedSharding(mesh, spec)
+            return fallback
+
+        opt_sh = jax.tree_util.tree_map_with_path(
+            tp_or, state.opt_state, opt_sh
+        )
+
     return TrainState(
-        params=jax.tree_util.tree_map(lambda _: rep, state.params),
-        opt_state=zero1_opt_sharding(state.opt_state, mesh, min_size),
+        params=params_sh,
+        opt_state=opt_sh,
         step=rep,
         vq_stats=jax.tree_util.tree_map(lambda _: rep, state.vq_stats),
     )
+
+
+def zero1_state_sharding(
+    state: TrainState, mesh: Mesh, min_size: int = 2**13
+) -> TrainState:
+    """ZeRO-1-only layout (params replicated, moments data-sharded) — see
+    model_state_sharding for the generalized version."""
+    return model_state_sharding(state, mesh, tensor_parallel=False, zero1=True, min_size=min_size)
 
 
 def jit_train_step(
@@ -749,10 +815,21 @@ def train(
     )
     sp_ctx = (lambda: jax.set_mesh(mesh)) if sp_on else contextlib.nullcontext
     with mesh:
-        if zero1:
-            zsh = zero1_state_sharding(state, mesh)
-            state = jax.device_put(state, zsh)
-            jitted = jit_train_step(step_fn, mesh, None, zero1_state=state)
+        tp_at_rest = n_model_parallel > 1
+        if zero1 or tp_at_rest:
+            # params-at-rest layout: master params (+ moments) sharded over
+            # the model axis under tp/pp, moments over data under zero1 —
+            # pinned on jit input AND output so the state stays sharded
+            ssh = model_state_sharding(
+                state, mesh, tensor_parallel=tp_at_rest, zero1=zero1
+            )
+            state = jax.device_put(state, ssh)
+            jitted = jax.jit(
+                step_fn,
+                in_shardings=(ssh, rep, bsh, None),
+                out_shardings=(ssh, None),
+                donate_argnums=(0,),
+            )
         else:
             jitted = jax.jit(
                 step_fn, in_shardings=(None, rep, bsh, None), donate_argnums=(0,)
@@ -821,11 +898,11 @@ def train(
                             state, model.patchnorm = load_train_state(
                                 out_dir, state, model.patchnorm
                             )
-                            if zero1:
+                            if zero1 or tp_at_rest:
                                 # restored leaves are host arrays; re-place to
-                                # the pinned ZeRO-1 shardings before the next
-                                # jitted call (committed args must match)
-                                state = jax.device_put(state, zsh)
+                                # the pinned shardings before the next jitted
+                                # call (committed args must match)
+                                state = jax.device_put(state, ssh)
                             log(
                                 {
                                     "step": gstep,

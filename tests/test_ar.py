@@ -272,3 +272,125 @@ def test_ar_packed_rows_no_cross_image_leakage():
         np.asarray(l1)[0, 8:], np.asarray(l2)[0, 8:], atol=1e-5,
         err_msg="image-0 content leaked into image-1 predictions",
     )
+
+
+def test_ar_save_load_roundtrip(tmp_path):
+    """save_ar_model/load_ar_model: config + params survive bit-exactly and
+    the loaded pair samples identically (the serving /generate contract)."""
+    from dct_autoencoder_tpu.models.ar import (
+        load_ar_model,
+        sample_codes_scan,
+        save_ar_model,
+    )
+
+    cfg = tiny_ar()
+    model = ARTokenModel(cfg)
+    rng = np.random.default_rng(11)
+    codes, chans, poss, pad = make_data(rng, b=1, s=8)
+    params = model.init(
+        jax.random.PRNGKey(0), codes, chans, poss, pad, training=False
+    )["params"]
+    save_ar_model(str(tmp_path / "ar"), cfg, params)
+    cfg2, params2 = load_ar_model(str(tmp_path / "ar"))
+    assert cfg2 == cfg
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(params2)[0],
+    ):
+        assert p1 == p2
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    s1 = sample_codes_scan(cfg, params, chans, poss, jax.random.PRNGKey(3))
+    s2 = sample_codes_scan(cfg2, params2, chans, poss, jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_scan_sampler_prefix_conditioning():
+    """prefix_codes are teacher-forced: output[:plen] == prefix, the
+    continuation differs from the unconditional draw (the forced tokens feed
+    the cache), and plen=0 reproduces the unconditional path bit-exactly."""
+    from dct_autoencoder_tpu.models.ar import sample_codes_scan
+
+    cfg = tiny_ar()
+    model = ARTokenModel(cfg)
+    rng = np.random.default_rng(4)
+    codes, chans, poss, pad = make_data(rng, b=1, s=12)
+    params = model.init(
+        jax.random.PRNGKey(0), codes, chans, poss, pad, training=False
+    )["params"]
+
+    key = jax.random.PRNGKey(9)
+    uncond = np.asarray(sample_codes_scan(cfg, params, chans, poss, key))
+    prefix = (uncond + 7) % cfg.codebook_size  # anything != the uncond draw
+    plen = 5
+    cond = np.asarray(
+        sample_codes_scan(
+            cfg, params, chans, poss, key,
+            prefix_codes=jnp.asarray(prefix), prefix_len=plen,
+        )
+    )
+    np.testing.assert_array_equal(cond[0, :plen], prefix[0, :plen])
+    assert not np.array_equal(cond[0, plen:], uncond[0, plen:]), (
+        "continuation ignored the forced prefix"
+    )
+    # zero-length prefix: bit-identical to the unconditional call
+    cond0 = np.asarray(
+        sample_codes_scan(
+            cfg, params, chans, poss, key,
+            prefix_codes=jnp.asarray(prefix), prefix_len=0,
+        )
+    )
+    np.testing.assert_array_equal(cond0, uncond)
+
+
+def test_batched_per_row_keys_are_batch_composition_independent():
+    """Explicit per-row keys: a request's draw must not depend on which
+    micro-batch it landed in (the serving batcher's determinism contract)."""
+    from dct_autoencoder_tpu.models.ar import sample_codes_scan_batched
+
+    cfg = tiny_ar()
+    model = ARTokenModel(cfg)
+    rng = np.random.default_rng(5)
+    codes, chans, poss, pad = make_data(rng, b=3, s=8)
+    params = model.init(
+        jax.random.PRNGKey(0), codes[:1], chans[:1], poss[:1], pad[:1],
+        training=False,
+    )["params"]
+
+    keys = jnp.stack([jax.random.PRNGKey(100 + i) for i in range(3)])
+    full = np.asarray(
+        sample_codes_scan_batched(
+            cfg, params, chans, poss, rng=None, keys=keys
+        )
+    )
+    # same request (row 1) in a different batch composition, same key
+    keys2 = jnp.stack([jax.random.PRNGKey(101), jax.random.PRNGKey(999),
+                       jax.random.PRNGKey(998)])
+    chans2 = jnp.concatenate([chans[1:2], chans[2:], chans[:1]])
+    poss2 = jnp.concatenate([poss[1:2], poss[2:], poss[:1]])
+    other = np.asarray(
+        sample_codes_scan_batched(
+            cfg, params, chans2, poss2, rng=None, keys=keys2
+        )
+    )
+    np.testing.assert_array_equal(other[0], full[1])
+
+
+def test_canonical_layout_properties():
+    """Static coarse-to-fine layout: unique triples, intensity channel and
+    low frequencies first (the extractor's static importance order)."""
+    from dct_autoencoder_tpu.models.ar import canonical_layout
+
+    cfg = tiny_ar()
+    n = 40
+    chans, poss = canonical_layout(cfg, n)
+    assert chans.shape == (1, n) and poss.shape == (1, n, 2)
+    triples = {(int(c), int(h), int(w))
+               for c, (h, w) in zip(chans[0], poss[0])}
+    assert len(triples) == n
+    # token 0 is the intensity DC term
+    assert (int(chans[0, 0]), int(poss[0, 0, 0]), int(poss[0, 0, 1])) == (0, 0, 0)
+    # channel 0 dominates the head (importance 8 vs 1)
+    assert np.mean(np.asarray(chans[0][:16]) == 0) > 0.8
+    # within channel 0, h+w is non-decreasing (low frequencies first)
+    c0 = [int(h + w) for c, (h, w) in zip(chans[0], poss[0]) if int(c) == 0]
+    assert c0 == sorted(c0)

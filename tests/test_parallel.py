@@ -47,7 +47,10 @@ def test_param_spec_tp_rules():
     assert pos and all(by_path[k] == P() for k in pos)
 
 
-def sharded_vs_single(n_model, pipeline_microbatches=None, sequence_parallel=False):
+def sharded_vs_single(
+    n_model, pipeline_microbatches=None, sequence_parallel=False,
+    pin_state_sharding=False,
+):
     """Run the jitted train step sharded and compare metrics to single-device.
 
     pipeline_microbatches: run both transformer stacks as a GPipe pipeline
@@ -102,10 +105,25 @@ def sharded_vs_single(n_model, pipeline_microbatches=None, sequence_parallel=Fal
         params = shard_params(model.params, mesh, tensor_parallel=n_model > 1)
         state = TrainState.create(params, tx)
         sharded_batch = shard_batch(batch, mesh)
-        jitted = jax.jit(
-            sharded_step_fn,
-            in_shardings=(None, replicated(mesh), batch_sharding(mesh)),
-        )
+        if pin_state_sharding:
+            # the train() params-at-rest layout: masters + moments sharded
+            # over the model axis, pinned on jit input AND output
+            from dct_autoencoder_tpu.train.loop import model_state_sharding
+
+            ssh = model_state_sharding(
+                state, mesh, tensor_parallel=n_model > 1, zero1=False
+            )
+            state = jax.device_put(state, ssh)
+            jitted = jax.jit(
+                sharded_step_fn,
+                in_shardings=(ssh, replicated(mesh), batch_sharding(mesh)),
+                out_shardings=(ssh, None),
+            )
+        else:
+            jitted = jax.jit(
+                sharded_step_fn,
+                in_shardings=(None, replicated(mesh), batch_sharding(mesh)),
+            )
         new_state, m_sharded = jitted(state, model.patchnorm, sharded_batch)
 
     np.testing.assert_allclose(
@@ -137,6 +155,34 @@ def test_pipeline_parallel_step_matches_single_device():
     """GPipe pipeline over the model axis (2 stages x 2 microbatches)
     reproduces the sequential-stack train step (loss + grad norm)."""
     sharded_vs_single(n_model=2, pipeline_microbatches=2)
+
+
+def test_pipeline_params_at_rest_sharded_and_exact():
+    """pp with the train() params-at-rest layout (model_state_sharding):
+    master params AND Adam moments live model-axis-sharded across steps —
+    pp buys parameter memory, not just activation locality — and the step
+    still matches the single device bit-for-tolerance."""
+    state = sharded_vs_single(
+        n_model=2, pipeline_microbatches=2, pin_state_sharding=True
+    )
+
+    def model_sharded_fraction(tree):
+        total = local = 0
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if not hasattr(leaf, "sharding") or leaf.ndim == 0:
+                continue
+            total += leaf.size * leaf.dtype.itemsize
+            local += int(
+                np.prod(leaf.sharding.shard_shape(leaf.shape))
+            ) * leaf.dtype.itemsize
+        return total, local
+
+    pt, pl = model_sharded_fraction(state.params)
+    assert pl < pt, "master params not sharded at rest under pp"
+    ot, ol = model_sharded_fraction(state.opt_state)
+    assert ol < ot, "Adam moments not sharded at rest under pp"
+    # the big matrices split 2 ways: per-device bytes well under 3/4 total
+    assert pl < 0.75 * pt, (pl, pt)
 
 
 def test_sequence_parallel_step_matches_single_device():

@@ -258,3 +258,183 @@ def test_http_binary_codec():
     finally:
         httpd.shutdown()
         httpd.batcher.shutdown()
+
+
+class _SlowStubPipeline:
+    """Pipeline stand-in whose encode blocks — drives queue/deadline paths."""
+
+    def __init__(self, delay=0.25):
+        self.delay = delay
+
+    def encode(self, images):
+        import time
+
+        time.sleep(self.delay)
+        return [{"codes": [], "size": (1, 1), "original_size": (8, 8)}] * len(images)
+
+
+def test_bounded_queue_rejects_with_queue_full():
+    """Overflowing the bounded queue fails fast (QueueFull -> HTTP 429)
+    instead of stretching tail latency (docs/serving_r3.md conc-8 p99
+    pathology)."""
+    from dct_autoencoder_tpu.tools.serve import QueueFull
+
+    srv = BatchingServer(
+        _SlowStubPipeline(0.3), max_batch=1, batch_timeout_ms=1.0, max_queue=2
+    )
+    errors, oks = [], []
+
+    def call(i):
+        try:
+            oks.append(srv.submit("encode", [[i]]))
+        except QueueFull as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors, "no request was rejected by the bounded queue"
+    assert oks, "every request was rejected"
+    assert srv.n_rejected == len(errors)
+    srv.shutdown()
+
+
+def test_request_deadline_expires():
+    """A request whose deadline passes while queued raises DeadlineExceeded
+    (HTTP 504) and is dropped before costing device time."""
+    from dct_autoencoder_tpu.tools.serve import DeadlineExceeded
+
+    srv = BatchingServer(
+        _SlowStubPipeline(0.4),
+        max_batch=1,
+        batch_timeout_ms=1.0,
+        max_queue=16,
+        request_deadline_s=0.15,
+    )
+    errors, oks = [], []
+
+    def call(i):
+        try:
+            oks.append(srv.submit("encode", [[i]]))
+        except DeadlineExceeded as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors, "no request hit its deadline"
+    srv.shutdown()
+
+
+def test_http_429_and_healthz_metrics():
+    """HTTP surface of the overload behavior: 429 + Retry-After on a full
+    queue; /healthz exposes queue depth and rejection counters."""
+    import urllib.error
+
+    httpd = serve(
+        _SlowStubPipeline(0.5), port=0, max_batch=1, batch_timeout_ms=1.0,
+        max_queue=1, request_deadline_s=30.0,
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        statuses = []
+
+        def call():
+            body = json.dumps({"image": [[0.5]]}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/encode", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    statuses.append((r.status, None))
+            except urllib.error.HTTPError as e:
+                statuses.append((e.code, e.headers.get("Retry-After")))
+
+        threads = [threading.Thread(target=call) for _ in range(6)]
+        for th in threads:
+            th.start()
+        import time
+
+        time.sleep(0.1)  # while the queue is saturated
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            health = json.loads(r.read())
+        for th in threads:
+            th.join()
+        rejected = [s for s in statuses if s[0] == 429]
+        assert rejected, f"no 429 seen: {statuses}"
+        assert all(ra == "1" for _, ra in rejected)
+        assert health["queue_max"] == 1
+        assert "queue_depth" in health and "rejected" in health
+        assert health["generate"] is False
+    finally:
+        httpd.shutdown()
+        httpd.batcher.shutdown()
+
+
+def test_generate_endpoint_and_batching():
+    """/generate: AR sample -> tokenizer decode, micro-batched; per-request
+    seeds are batch-composition-independent; prefix tokens are forced."""
+    import jax
+
+    from dct_autoencoder_tpu.models.ar import ARConfig, ARTokenModel
+    from dct_autoencoder_tpu.models.config import TransformerConfig
+
+    pipe = make_pipe()
+    tok_cfg = pipe.model.config
+    ar_cfg = ARConfig(
+        codebook_size=tok_cfg.vq_codebook_size,
+        num_codebooks=tok_cfg.vq_num_codebooks,
+        image_channels=tok_cfg.image_channels,
+        max_patch_h=tok_cfg.max_patch_h,
+        max_patch_w=tok_cfg.max_patch_w,
+        transformer=TransformerConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4,
+        ),
+    )
+    model = ARTokenModel(ar_cfg)
+    C = ar_cfg.num_codebooks
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 4, C), np.int32), np.zeros((1, 4), np.int32),
+        np.zeros((1, 4, 2), np.int32), np.zeros((1, 4), bool),
+        training=False,
+    )["params"]
+    srv = BatchingServer(
+        pipe, max_batch=8, batch_timeout_ms=50.0, ar_model=(ar_cfg, params)
+    )
+    payload = lambda seed, **kw: dict(
+        n_tokens=16, temperature=1.0, seed=seed, **kw
+    )
+
+    # 3 concurrent requests ride one batched sampler call
+    results = [None] * 3
+    def call(i):
+        results[i] = srv.submit("generate", payload(seed=100 + i))
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads: t.start()
+    for t in threads: t.join()
+    for r in results:
+        im = np.asarray(r["image"])
+        assert im.ndim == 3 and im.shape[0] == 3
+        assert len(r["record"]["codes"]) == 16
+
+    # same seed alone -> same codes as when it rode the batch
+    solo = srv.submit("generate", payload(seed=101))
+    assert [t["data"] for t in solo["record"]["codes"]] == [
+        t["data"] for t in results[1]["record"]["codes"]
+    ]
+
+    # prefix forced
+    prefix = results[0]["record"]["codes"][:5]
+    cond = srv.submit("generate", payload(seed=7, prefix=prefix))
+    got = [t["data"] for t in cond["record"]["codes"][:5]]
+    assert got == [t["data"] for t in prefix]
+    srv.shutdown()
