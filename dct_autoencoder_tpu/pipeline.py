@@ -99,14 +99,57 @@ class DCTPipeline:
         return out
 
     @classmethod
-    def from_pretrained(cls, path: str, sample_patches_beta: float = 0.02, dtype=None):
+    def from_pretrained(
+        cls,
+        path: str,
+        sample_patches_beta: float = 0.02,
+        dtype=None,
+        prefer_int8: str = "auto",
+    ):
+        """Load a checkpoint for serving.
+
+        prefer_int8='auto' (default) consumes the recorded int8 gate
+        decision: if `int8_serving.json` exists in the checkpoint dir
+        (written by tools/quantize_checkpoint --gate when token agreement
+        cleared the threshold) and says pass, the gated int8 sibling is
+        loaded instead — the serving default flips to int8 per checkpoint,
+        only when that checkpoint earned it.  'never' ignores the record;
+        'always' requires a passing record and errors otherwise."""
+        import json as _json
+        import os as _os
+
         import jax.numpy as jnp
 
+        assert prefer_int8 in ("auto", "never", "always"), prefer_int8
+        load_path = path
+        if prefer_int8 != "never":
+            gate_file = _os.path.join(path, "int8_serving.json")
+            record = None
+            if _os.path.exists(gate_file):
+                with open(gate_file) as f:
+                    record = _json.load(f)
+            usable = (
+                record is not None
+                and record.get("pass")
+                and _os.path.isdir(record.get("int8_model", ""))
+            )
+            if usable:
+                load_path = record["int8_model"]
+                print(
+                    f"serving int8 form (gated: agreement "
+                    f"{record['agreement']:.4f} >= {record['threshold']}): "
+                    f"{load_path}"
+                )
+            elif prefer_int8 == "always":
+                raise FileNotFoundError(
+                    f"prefer_int8='always' but no passing int8 gate record at "
+                    f"{gate_file} (run tools/quantize_checkpoint --gate)"
+                )
         model, proc = get_model_and_processor(
             None,
             dtype=dtype or jnp.bfloat16,
             sample_patches_beta=sample_patches_beta,
-            resume_path=path,
+            resume_path=load_path,
         )
         return cls(model, proc)
 

@@ -11,21 +11,41 @@ save_pretrained layout, config carries quantize_int8=true so from_pretrained
 rebuilds Int8Dense automatically), and optionally reports token agreement +
 reconstruction drift vs the fp model on a validation folder.
 
+--gate turns the agreement measurement into an actionable serving decision
+(docs/int8_study_r3.md predicts converged checkpoints pass): the measured
+token agreement is compared against --gate_threshold (default 0.999) and the
+verdict is RECORDED — int8_gate.json next to the quantized model, plus an
+int8_serving.json pointer in the SOURCE checkpoint dir that
+DCTPipeline.from_pretrained(prefer_int8='auto') consumes, so the serving
+default flips to int8 per checkpoint automatically, and only when that
+checkpoint earned it.
+
 No reference counterpart (the reference's 8-bit machinery is the optimizer,
 main.py:420-425); this is a serving capability upgrade.
 """
 from __future__ import annotations
 
 import argparse
+import json
 import os
 
 
 def main(model_path: str, out_path: str, validate_images: str = "", group_size: int = 0,
-         mode: str = None, bf16_layers: str = "") -> None:
+         mode: str = None, bf16_layers: str = "", gate: bool = False,
+         gate_threshold: float = 0.999) -> None:
     import numpy as np
 
     from ..models.autoencoder import DCTAutoencoder
     from ..models.quant import quantize_model_for_serving
+
+    if gate and not validate_images:
+        raise SystemExit("--gate needs --validate_images to measure agreement on")
+    if gate and mode is None:
+        # the study's recommended opt-in: dynamic int8 with the two most
+        # flip-sensitive (earliest) layers kept bf16
+        mode = "dynamic"
+        if not bf16_layers:
+            bf16_layers = "0,1"
 
     model = DCTAutoencoder.from_pretrained(model_path)
     layers = tuple(int(i) for i in bf16_layers.split(",") if i)
@@ -77,6 +97,33 @@ def main(model_path: str, out_path: str, validate_images: str = "", group_size: 
         drift = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
         print(f"validation: token agreement {agree:.4f}, mean rec drift {drift:.4f}")
 
+        if gate:
+            ok = bool(agree >= gate_threshold)
+            record = {
+                "agreement": float(agree),
+                "threshold": float(gate_threshold),
+                "pass": ok,
+                "mode": mode,
+                "bf16_layers": list(layers),
+                "group_size": group_size,
+                "n_validation_images": len(ims),
+                "source_model": os.path.abspath(model_path),
+                "int8_model": os.path.abspath(out_path),
+            }
+            with open(os.path.join(out_path, "int8_gate.json"), "w") as f:
+                json.dump(record, f, indent=2)
+            # the pointer DCTPipeline.from_pretrained(prefer_int8='auto')
+            # consumes: lives in the SOURCE checkpoint dir so loading the fp
+            # path automatically serves the gated int8 form
+            with open(os.path.join(model_path, "int8_serving.json"), "w") as f:
+                json.dump(record, f, indent=2)
+            print(
+                f"gate: {'PASS' if ok else 'FAIL'} "
+                f"(agreement {agree:.4f} vs threshold {gate_threshold}) — "
+                f"{'serving flips to int8' if ok else 'serving stays fp'} "
+                f"for this checkpoint (int8_serving.json)"
+            )
+
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
@@ -86,6 +133,8 @@ if __name__ == "__main__":
     p.add_argument("--group_size", type=int, default=0, help="group-wise weight scales over the input dim (0 = per-output-channel)")
     p.add_argument("--mode", default=None, help="weight_only (default) or dynamic")
     p.add_argument("--bf16_layers", default="", help="comma list of layer idxs kept bf16 in both stacks; the recommended max-throughput config is --mode dynamic --bf16_layers 0,1 (docs/int8_study_r3.md)")
+    p.add_argument("--gate", action="store_true", help="measure token agreement vs --gate_threshold and RECORD the serving decision (int8_serving.json in the source dir; DCTPipeline prefer_int8='auto' consumes it)")
+    p.add_argument("--gate_threshold", type=float, default=0.999)
     args = p.parse_args()
     main(args.model_path, args.out_path, args.validate_images, args.group_size,
-         args.mode, args.bf16_layers)
+         args.mode, args.bf16_layers, args.gate, args.gate_threshold)

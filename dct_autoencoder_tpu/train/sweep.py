@@ -139,6 +139,16 @@ def main(
     seed: int = 0,
     method: str = "tpe",
     out_file: str = "sweep_results.jsonl",
+    # identical model init + data order across trials: trials differ ONLY in
+    # hyperparams, which (a) keeps every packed shape identical so the trial
+    # loop touches one fixed set of device programs (compiles dominate short
+    # trials on remote-compile links) and (b) removes init/data noise from
+    # the TPE ranking.  Set false to also resample init per trial.
+    fixed_init: bool = True,
+    # the RSS watchdog restarts the PROCESS, which would kill a sweep
+    # campaign mid-flight; default off — budget trials x steps x batch-bytes
+    # against MemTotal instead (the axon leak note in train/loop.py)
+    rss_limit_gb: float = 0.0,
 ):
     from .cli import main as train_main
 
@@ -179,12 +189,13 @@ def main(
                 entropy_loss=params["entropy_loss"],
                 log_every=max(max_iters // 4, 1),
                 should_save=False,
-                seed=seed + t,
+                seed=seed if fixed_init else seed + t,
+                rss_limit_gb=rss_limit_gb,
             )
         finally:
             loop_mod.train = orig_train
 
-        record = {"trial": t, **params, **{
+        record = {"trial": t, "method": method, **params, **{
             k: v for k, v in final_metrics.items() if isinstance(v, (int, float))
         }}
         with open(out_file, "a") as f:
@@ -211,4 +222,6 @@ if __name__ == "__main__":
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--method", default="tpe", choices=("tpe", "random"))
     p.add_argument("--out_file", default="sweep_results.jsonl")
+    p.add_argument("--fixed_init", type=lambda v: v.lower() in ("1", "true", "yes"), default=True)
+    p.add_argument("--rss_limit_gb", type=float, default=0.0)
     main(**vars(p.parse_args()))

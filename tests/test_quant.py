@@ -175,3 +175,53 @@ def test_int8_model_save_load_roundtrip(tmp_path):
     loaded.patchnorm = qmodel.patchnorm
     out2 = loaded.forward(nb, training=False)
     np.testing.assert_array_equal(np.asarray(out1["codes"]), np.asarray(out2["codes"]))
+
+
+def test_int8_gate_records_and_pipeline_flips(tmp_path):
+    """The --gate flow end-to-end: quantize_checkpoint measures agreement,
+    records the verdict, and DCTPipeline.from_pretrained(prefer_int8='auto')
+    flips to the int8 form only on a passing record."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from dct_autoencoder_tpu.pipeline import DCTPipeline
+    from dct_autoencoder_tpu.tools.quantize_checkpoint import main as quantize_main
+
+    cfg = tiny_config("lfq")
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(5)
+    batch = make_batch(proc, rng, n_images=3)
+    model.patchnorm, _ = calibrate_patchnorm_batch(model.patchnorm, batch)
+    src = str(tmp_path / "model")
+    model.save_pretrained(src)
+
+    img_dir = str(tmp_path / "imgs")
+    os.makedirs(img_dir)
+    for i in range(3):
+        arr = (rng.uniform(0.1, 0.9, (64, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(img_dir, f"{i}.png"))
+
+    # threshold 0.0 always passes: the pointer flips serving to int8
+    q8 = str(tmp_path / "model-int8")
+    quantize_main(src, q8, validate_images=img_dir, gate=True, gate_threshold=0.0)
+    rec = json.load(open(os.path.join(src, "int8_serving.json")))
+    assert rec["pass"] and rec["mode"] == "dynamic" and rec["bf16_layers"] == [0, 1]
+    assert 0.0 <= rec["agreement"] <= 1.0
+    pipe = DCTPipeline.from_pretrained(src, dtype=np.float32)
+    assert pipe.model.config.encoder_config.quantize_int8
+    # explicit opt-out loads the fp form
+    pipe_fp = DCTPipeline.from_pretrained(src, dtype=np.float32, prefer_int8="never")
+    assert not pipe_fp.model.config.encoder_config.quantize_int8
+
+    # threshold above 1.0 always fails: serving stays fp, 'always' errors
+    quantize_main(src, q8, validate_images=img_dir, gate=True, gate_threshold=1.01)
+    rec = json.load(open(os.path.join(src, "int8_serving.json")))
+    assert not rec["pass"]
+    pipe2 = DCTPipeline.from_pretrained(src, dtype=np.float32)
+    assert not pipe2.model.config.encoder_config.quantize_int8
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        DCTPipeline.from_pretrained(src, dtype=np.float32, prefer_int8="always")
