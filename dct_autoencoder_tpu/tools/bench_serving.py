@@ -40,11 +40,26 @@ def npy_bytes(arr: np.ndarray) -> bytes:
 
 
 def fire(
-    port: int, body: bytes, headers: Dict[str, str], n_requests: int, concurrency: int
+    port: int,
+    body: bytes,
+    headers: Dict[str, str],
+    n_requests: int,
+    concurrency: int,
+    path: str = "/reconstruct",
+    retry_429: bool = True,
 ) -> Dict[str, float]:
+    """Fire n_requests at the daemon from `concurrency` threads.
+
+    429 (bounded-queue backpressure) is part of the protocol, not an error:
+    the client backs off per Retry-After and retries (retry_429=True, the
+    well-behaved client the server's overload contract assumes); rejected
+    attempts are counted.  504 (deadline) is counted and NOT retried.
+    Latency percentiles are over COMPLETED requests only."""
     lat: List[float] = []
     lock = threading.Lock()
     counter = [0]
+    rejected = [0]
+    expired = [0]
     errors: List[str] = []
 
     def worker():
@@ -57,11 +72,22 @@ def fire(
                 counter[0] += 1
             t0 = time.perf_counter()
             try:
-                conn.request("POST", "/reconstruct", body=body, headers=headers)
-                r = conn.getresponse()
-                data = r.read()
+                while True:
+                    conn.request("POST", path, body=body, headers=headers)
+                    r = conn.getresponse()
+                    data = r.read()
+                    if r.status == 429 and retry_429:
+                        with lock:
+                            rejected[0] += 1
+                        time.sleep(float(r.headers.get("Retry-After", "1")))
+                        continue
+                    break
+                if r.status == 504:
+                    with lock:
+                        expired[0] += 1
+                    continue
                 if r.status != 200:
-                    raise RuntimeError(data[:200])
+                    raise RuntimeError(f"{r.status}: {data[:200]}")
             except Exception as e:
                 with lock:
                     errors.append(repr(e))
@@ -79,13 +105,18 @@ def fire(
     if errors:
         raise RuntimeError(f"client errors: {errors[:3]}")
     lat.sort()
-    return {
+    out = {
         "requests": len(lat),
         "wall_s": round(wall, 3),
-        "req_per_s": round(len(lat) / wall, 3),
-        "p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
-        "p99_ms": round(lat[min(int(len(lat) * 0.99), len(lat) - 1)] * 1e3, 1),
+        "req_per_s": round(len(lat) / wall, 3) if lat else 0.0,
+        "p50_ms": round(lat[len(lat) // 2] * 1e3, 1) if lat else None,
+        "p99_ms": round(lat[min(int(len(lat) * 0.99), len(lat) - 1)] * 1e3, 1) if lat else None,
     }
+    if rejected[0]:
+        out["rejected_429"] = rejected[0]
+    if expired[0]:
+        out["expired_504"] = expired[0]
+    return out
 
 
 def main():
@@ -96,6 +127,13 @@ def main():
     p.add_argument("--requests", type=int, default=64)
     p.add_argument("--json_requests", type=int, default=16)
     p.add_argument("--sample_patches_beta", type=float, default=0.02)
+    # burst-robustness knobs under test (tools/serve.py)
+    p.add_argument("--max_queue", type=int, default=64)
+    p.add_argument("--request_deadline_s", type=float, default=120.0)
+    # AR checkpoint -> also bench /generate (tokens -> image)
+    p.add_argument("--ar_model_path", default=None)
+    p.add_argument("--gen_tokens", type=int, default=256)
+    p.add_argument("--gen_requests", type=int, default=16)
     args = p.parse_args()
 
     from ..pipeline import DCTPipeline
@@ -126,9 +164,19 @@ def main():
             direct = time.perf_counter() - t0
         print(f"direct pipeline.{fn_name}: {direct * 1e3:.0f} ms")
 
+    ar_model = None
+    if args.ar_model_path:
+        from ..models.ar import load_ar_model
+
+        ar_model = load_ar_model(args.ar_model_path)
+
     results = []
     for max_batch, timeout_ms, tag in ((16, 5.0, "batched"), (1, 0.0, "unbatched")):
-        batcher = BatchingServer(pipe, max_batch=max_batch, batch_timeout_ms=timeout_ms)
+        batcher = BatchingServer(
+            pipe, max_batch=max_batch, batch_timeout_ms=timeout_ms,
+            max_queue=args.max_queue, request_deadline_s=args.request_deadline_s,
+            ar_model=ar_model,
+        )
         httpd = _Server(("127.0.0.1", 0), make_handler(batcher))
         port = httpd.server_address[1]
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -153,6 +201,22 @@ def main():
                     b0 = batcher.n_batches
                     line = {"server": tag, "codec": codec, "concurrency": conc,
                             "batches_total": b0, **r}
+                    results.append(line)
+                    print(json.dumps(line), flush=True)
+            if ar_model is not None and tag == "batched":
+                gen_body = json.dumps(
+                    {"n_tokens": args.gen_tokens, "temperature": 1.0, "seed": 1}
+                ).encode()
+                # warmup compiles the b=1 and full-batch sampler programs
+                fire(port, gen_body, json_hdr, 1, 1, path="/generate")
+                fire(port, gen_body, json_hdr, 8, 8, path="/generate")
+                for conc in (1, 8):
+                    r = fire(
+                        port, gen_body, json_hdr,
+                        max(args.gen_requests, conc), conc, path="/generate",
+                    )
+                    line = {"server": tag, "codec": "generate",
+                            "n_tokens": args.gen_tokens, "concurrency": conc, **r}
                     results.append(line)
                     print(json.dumps(line), flush=True)
         finally:
