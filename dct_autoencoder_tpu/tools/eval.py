@@ -103,7 +103,12 @@ def main(
     pipe = None
     for path in paths:
         if pipe is None:
-            pipe = DCTPipeline.from_pretrained(path, sample_patches_beta=sample_patches_beta)
+            # measurement tool: always evaluate the fp checkpoint itself —
+            # never the int8-gate serving flip (prefer_int8='auto' is for
+            # serving loaders, tools/serve.py)
+            pipe = DCTPipeline.from_pretrained(
+                path, sample_patches_beta=sample_patches_beta, prefer_int8="never"
+            )
         else:
             # reuse the pipeline (and its jit cache): swap weights only
             from ..models.autoencoder import DCTAutoencoder
