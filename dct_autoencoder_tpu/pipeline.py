@@ -128,13 +128,19 @@ class DCTPipeline:
             if _os.path.exists(gate_file):
                 with open(gate_file) as f:
                     record = _json.load(f)
-            usable = (
-                record is not None
-                and record.get("pass")
-                and _os.path.isdir(record.get("int8_model", ""))
-            )
-            if usable:
-                load_path = record["int8_model"]
+            int8_dir = None
+            if record is not None and record.get("pass"):
+                # absolute pointer first, then relative to the checkpoint
+                # dir (survives copying the tree to another host)
+                for cand in (
+                    record.get("int8_model", ""),
+                    _os.path.join(path, record.get("int8_model_rel", "")),
+                ):
+                    if cand and _os.path.isdir(cand):
+                        int8_dir = cand
+                        break
+            if int8_dir:
+                load_path = int8_dir
                 print(
                     f"serving int8 form (gated: agreement "
                     f"{record['agreement']:.4f} >= {record['threshold']}): "

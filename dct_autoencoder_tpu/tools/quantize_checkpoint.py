@@ -109,6 +109,11 @@ def main(model_path: str, out_path: str, validate_images: str = "", group_size: 
                 "n_validation_images": len(ims),
                 "source_model": os.path.abspath(model_path),
                 "int8_model": os.path.abspath(out_path),
+                # survives copying/moving the checkpoint tree to another
+                # host: the loader resolves this against the checkpoint dir
+                "int8_model_rel": os.path.relpath(
+                    os.path.abspath(out_path), os.path.abspath(model_path)
+                ),
             }
             with open(os.path.join(out_path, "int8_gate.json"), "w") as f:
                 json.dump(record, f, indent=2)

@@ -123,14 +123,15 @@ class BatchingServer:
     # ------------------------------------------------------------- client api
 
     def submit(self, kind: str, payload, timeout: float = 600.0):
-        # generous default: the FIRST request of a new image shape compiles
-        # the preprocess/forward programs (minutes on remote-compile links);
-        # steady-state requests return in milliseconds.  The effective wait
-        # is min(timeout, request_deadline_s).
+        # timeout stays generous: the FIRST request of a new shape compiles
+        # device programs (minutes on remote-compile links), and a request
+        # already RUNNING must be allowed to finish — the deadline governs
+        # time spent WAITING IN THE QUEUE (enforced by the batcher at
+        # dequeue), not in-flight processing, so cold compiles don't get a
+        # spurious 504.
         deadline = None
         if self.request_deadline_s and self.request_deadline_s > 0:
             deadline = time.monotonic() + self.request_deadline_s
-            timeout = min(timeout, self.request_deadline_s)
         req = _Request(kind, payload, deadline)
         try:
             self.q.put_nowait(req)
@@ -140,7 +141,7 @@ class BatchingServer:
                 f"request queue full ({self.q.maxsize}); retry later"
             ) from None
         if not req.event.wait(timeout):
-            raise DeadlineExceeded(f"request exceeded {timeout:.0f}s deadline")
+            raise DeadlineExceeded(f"request exceeded {timeout:.0f}s client timeout")
         if req.error == "deadline":
             raise DeadlineExceeded("request expired while queued")
         if req.error is not None:
@@ -234,6 +235,20 @@ class BatchingServer:
         for r in reqs:
             r.event.set()
 
+    def generate_grid(self):
+        """(patch_h, patch_w) the /generate layout actually uses: the AR
+        model's grid clipped to the tokenizer's (both must embed it)."""
+        ar_cfg, _ = self.ar_model
+        tok_cfg = self.pipeline.model.config
+        return (
+            min(ar_cfg.max_patch_h, tok_cfg.max_patch_h),
+            min(ar_cfg.max_patch_w, tok_cfg.max_patch_w),
+        )
+
+    def generate_max_tokens(self) -> int:
+        ph, pw = self.generate_grid()
+        return self.ar_model[0].image_channels * ph * pw
+
     def _run_generate(self, reqs: List[_Request]):
         """AR token generation -> tokenizer decode, micro-batched.
 
@@ -253,24 +268,49 @@ class BatchingServer:
         tok_cfg = self.pipeline.model.config
         s = reqs[0].payload["n_tokens"]
         temperature = reqs[0].payload["temperature"]
-        ph = min(ar_cfg.max_patch_h, tok_cfg.max_patch_h)
-        pw = min(ar_cfg.max_patch_w, tok_cfg.max_patch_w)
-        chans, poss = canonical_layout(ar_cfg, s, patch_h=ph, patch_w=pw)
-        b = len(reqs)
+        ph, pw = self.generate_grid()
+        # FULL-grid canonical order: each request's layout = its prefix
+        # triples first, then the canonical order with those triples REMOVED
+        # (a prefix from a real encode record follows a data-dependent
+        # importance order; naively overwriting the head would leave the
+        # displaced (c,h,w) cells duplicated later in the row — a dense
+        # decode scatter then drops coefficients silently)
+        full = ar_cfg.image_channels * ph * pw
+        c_all, p_all = canonical_layout(ar_cfg, full, patch_h=ph, patch_w=pw)
+        c_all, p_all = c_all[0], p_all[0]
+        b_real = len(reqs)
+        # bucket the batch (1, 2, 4, ... max_batch): every distinct sampler
+        # batch size is a compiled program + a pinned KV cache in the LRU
+        b = 1
+        while b < b_real:
+            b *= 2
+        b = min(max(b, 1), max(self.max_batch, b_real))
         C = ar_cfg.num_codebooks
         prefix_codes = np.zeros((b, s, C), np.int32)
         prefix_lens = np.zeros((b,), np.int32)
-        chans_b = np.repeat(chans, b, axis=0)
-        poss_b = np.repeat(poss, b, axis=0)
+        chans_b = np.zeros((b, s), np.int32)
+        poss_b = np.zeros((b, s, 2), np.int32)
         keys = []
-        for i, r in enumerate(reqs):
+        for i in range(b):
+            r = reqs[min(i, b_real - 1)]  # pad rows replay the last request
             keys.append(jax.random.PRNGKey(int(r.payload.get("seed", 0))))
-            prefix = r.payload.get("prefix") or []
-            n = min(len(prefix), s)
-            for t, tok in enumerate(prefix[:n]):
+            prefix = (r.payload.get("prefix") or [])[:s]
+            n = len(prefix)
+            used = set()
+            for t, tok in enumerate(prefix):
                 prefix_codes[i, t] = tok["data"]
                 chans_b[i, t] = tok["c"]
                 poss_b[i, t] = (tok["h"], tok["w"])
+                used.add((int(tok["c"]), int(tok["h"]), int(tok["w"])))
+            t = n
+            for c, (h, w) in zip(c_all, p_all):
+                if t >= s:
+                    break
+                if (int(c), int(h), int(w)) in used:
+                    continue
+                chans_b[i, t] = c
+                poss_b[i, t] = (h, w)
+                t += 1
             prefix_lens[i] = n
         codes = np.asarray(
             sample_codes_scan_batched(
@@ -405,12 +445,9 @@ def make_handler(server: BatchingServer):
                     # minutes on remote links)
                     nt = int(payload.get("n_tokens", 256))
                     nt = max(64, ((nt + 63) // 64) * 64)
-                    grid = (
-                        server.ar_model[0].image_channels
-                        * server.ar_model[0].max_patch_h
-                        * server.ar_model[0].max_patch_w
-                    )
-                    payload["n_tokens"] = min(nt, grid)
+                    # cap at the grid the layout actually uses (AR grid
+                    # clipped to the tokenizer's) or canonical_layout asserts
+                    payload["n_tokens"] = min(nt, server.generate_max_tokens())
                     payload["temperature"] = round(
                         float(payload.get("temperature", 1.0)), 2
                     )
