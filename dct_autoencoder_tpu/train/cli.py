@@ -70,6 +70,39 @@ def _restart_argv(argv, out_dir: str):
     return out
 
 
+# set by cli_entry(): the stall handler may only execv-restart when this
+# process IS the CLI (a library caller's sys.argv belongs to the outer
+# program — execv'ing it would replace that program, the hijack the RSS
+# watchdog review already fixed once)
+_CLI_INVOKED = False
+
+
+def _make_stall_handler(out_dir):
+    """Process-level stall recovery, called from the watchdog THREAD (the
+    main thread is wedged in a device client — no exception can reach it)."""
+
+    def _on_stall():
+        import sys
+
+        from ..train.checkpoint import has_train_state
+
+        if _CLI_INVOKED and out_dir and has_train_state(out_dir):
+            argv = _restart_argv(sys.argv, out_dir)
+            print(f"stall watchdog: exec-restarting from {out_dir}", flush=True)
+            try:
+                os.execv(
+                    sys.executable,
+                    [sys.executable, "-m", "dct_autoencoder_tpu.train.cli"] + argv[1:],
+                )
+            except OSError as e:
+                print(f"stall restart exec failed: {e}", flush=True)
+        # library caller, no checkpoint yet, or exec failed: exit so a
+        # supervisor can restart; 73 is the documented stall code
+        os._exit(73)
+
+    return _on_stall
+
+
 def main(
     image_dataset_path_or_url: Optional[str] = None,
     preprocessed_dataset_path_or_url: Optional[str] = None,
@@ -123,6 +156,13 @@ def main(
     # internal (set by the self-restart): reuse this out dir instead of
     # creating a new timestamped one, so metrics/checkpoints stay together
     resume_out_dir: Optional[str] = None,
+    # stall watchdog (train/loop.py): if no step completes for this many
+    # seconds (first-compile excluded), restart the process from the last
+    # checkpoint — covers wedged device dispatches the RSS watchdog cannot
+    # see (observed on the remote-TPU tunnel).  CLI invocations execv-resume
+    # like the RSS path; library callers get os._exit(73) (the checkpoint is
+    # on disk; execv'ing THEIR argv would hijack the outer program).  0 = off
+    stall_timeout_s: float = 0.0,
     # internal (incremented by the self-restart): offsets the data shuffle
     # seed so a restarted process draws a FRESH shuffle order instead of
     # silently replaying the stream head (the optimizer state resumes
@@ -274,6 +314,8 @@ def main(
             prefetch_batches=prefetch_batches,
             nan_policy=nan_policy,
             rss_limit_gb=rss_limit_gb,
+            stall_timeout_s=stall_timeout_s,
+            on_stall=_make_stall_handler(out_dir) if stall_timeout_s > 0 else None,
             log_every=log_every,
             save_every=save_every,
             keep_checkpoints=keep_checkpoints,
@@ -328,6 +370,8 @@ def cli_entry() -> None:
     library callers of main())."""
     import sys
 
+    global _CLI_INVOKED
+    _CLI_INVOKED = True  # stall handler may execv this process's argv
     args = _build_parser().parse_args()
     try:
         main(**vars(args))

@@ -18,6 +18,7 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import math
+import os
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
@@ -94,6 +95,42 @@ def _rss_gb() -> float:
     except OSError:
         pass
     return 0.0
+
+
+def _start_stall_watchdog(stall_timeout_s: float, progress: dict, on_stall, log) -> None:
+    """Daemon thread that fires on_stall when no step completes in time.
+
+    Arms only after the FIRST completed step (progress["t"] is None until
+    then), so multi-minute first compiles never trip it.  progress["done"]
+    retires it.  on_stall must be process-level (execv / os._exit) — it runs
+    off the main thread, which may be blocked irrecoverably inside a device
+    client (the hang class this exists for)."""
+    import threading
+
+    def watch():
+        interval = max(min(stall_timeout_s / 4.0, 30.0), 0.05)
+        while True:
+            time.sleep(interval)
+            if progress.get("done"):
+                return
+            t = progress.get("t")
+            if t is None:
+                continue
+            if time.monotonic() - t > stall_timeout_s:
+                log(
+                    {
+                        "error": f"STALL: no training step completed in "
+                        f"{stall_timeout_s:.0f}s — watchdog firing "
+                        "(resume from the last checkpoint)",
+                    }
+                )
+                if on_stall is not None:
+                    on_stall()
+                else:
+                    os._exit(73)
+                return
+
+    threading.Thread(target=watch, daemon=True, name="stall-watchdog").start()
 
 
 def _auto_rss_limit_gb() -> float:
@@ -743,6 +780,19 @@ def train(
     # OOM-killed mid-interval by the kernel. <0 = auto (75% of MemTotal);
     # 0 disables; requires out_dir to act (logs a warning otherwise)
     rss_limit_gb: float = -1.0,
+    # stall watchdog: if no training step COMPLETES for this many seconds
+    # (after the first step, so compiles don't count), call on_stall from a
+    # daemon thread.  Covers the hang class the RSS watchdog cannot: a
+    # device dispatch wedged inside the client (observed on the remote-TPU
+    # tunnel: a run froze mid-step in a futex with the kernel thread idle —
+    # unrecoverable from Python since the main thread never returns).
+    # 0 disables.  on_stall runs OFF the main thread: it must not touch
+    # jax/train state; the CLI passes an execv self-restart that resumes
+    # from the last on-disk checkpoint (up to save_every steps replayed);
+    # when on_stall is None the watchdog logs and os._exit(73)s so a
+    # supervisor can restart (library callers: the checkpoint is on disk).
+    stall_timeout_s: float = 0.0,
+    on_stall=None,
     log_every: int = 50,
     save_every: int = 1000,
     # keep a model-only copy of each periodic save at out_dir/ckpt_<step>
@@ -843,6 +893,9 @@ def train(
         start_step = int(state.step)
         if rss_limit_gb < 0:
             rss_limit_gb = _auto_rss_limit_gb()
+        stall_progress = {"t": None, "done": False}
+        if stall_timeout_s and stall_timeout_s > 0:
+            _start_stall_watchdog(stall_timeout_s, stall_progress, on_stall, log)
         batch_iter = proc.iter_batches(data_iter, batch_size)
         if prefetch_batches > 0:
             # overlap host-side decode/preprocess/packing of batch i+1 with
@@ -880,6 +933,9 @@ def train(
                 batch = jax.device_put(batch, bsh)
             with sp_ctx():
                 state, metrics = jitted(state, model.patchnorm, batch, grid_sizes)
+            # dispatch returned (async is fine — a wedged client blocks the
+            # dispatch itself, which is the signal the watchdog needs)
+            stall_progress["t"] = time.monotonic()
 
             if i % log_every == 0:
                 metrics = {
@@ -1025,6 +1081,7 @@ def train(
         # shut the prefetch worker down promptly (its generator-finally joins
         # the thread; a thread killed mid-device-call at interpreter teardown
         # aborts the process on the remote backend)
+        stall_progress["done"] = True
         if hasattr(batch_iter, "close"):
             batch_iter.close()
 

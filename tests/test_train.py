@@ -581,3 +581,100 @@ def test_nan_policy_restore_without_checkpoint_aborts_cleanly():
     )
     errs = [d for d in logs if "error" in d]
     assert errs and "needs a checkpoint" in errs[0]["error"], logs
+
+
+def test_stall_watchdog_fires_on_wedged_step(tmp_path):
+    """If no step completes within stall_timeout_s, on_stall fires from the
+    watchdog thread — the recovery path for a device dispatch wedged inside
+    the client (observed on the remote tunnel: main thread stuck in a futex,
+    unreachable by exceptions)."""
+    import threading
+    import time as _time
+
+    from dct_autoencoder_tpu.train.loop import train
+
+    model, proc, _ = setup_model()
+    rng = np.random.default_rng(33)
+    fired = threading.Event()
+
+    def make_cols():
+        ims = [
+            rng.uniform(0.1, 0.9, size=(3, 32, 32)).astype(np.float32)
+            for _ in range(3)
+        ]
+        ds = [proc.preprocess(im) for im in ims]
+        return {k: [d[k] for d in ds] for k in ds[0]}
+
+    def batches():
+        # first batches flow normally (arming the watchdog), then the
+        # stream blocks — from train()'s perspective no step completes
+        for _ in range(2):
+            yield make_cols()
+        while not fired.wait(0.1):
+            pass
+        return  # unblock cleanly once the watchdog fired
+
+    train(
+        model,
+        proc,
+        batches(),
+        batch_size=2,
+        max_iters=10,
+        learning_rate=1e-4,
+        prefetch_batches=0,
+        stall_timeout_s=1.0,
+        on_stall=fired.set,
+        log=lambda d: None,
+    )
+    assert fired.is_set(), "stall watchdog never fired"
+
+
+def test_stall_handler_cli_vs_library(tmp_path, monkeypatch):
+    """The stall handler execv-restarts only when the process is the CLI and
+    a checkpoint exists; library callers get os._exit(73) (execv'ing their
+    argv would hijack the outer program)."""
+    import sys
+
+    from dct_autoencoder_tpu.train import cli as cli_mod
+
+    calls = []
+    monkeypatch.setattr(cli_mod.os, "execv", lambda *a: calls.append(("execv", a)))
+    monkeypatch.setattr(cli_mod.os, "_exit", lambda code: calls.append(("exit", code)))
+
+    # library context: no execv even with a checkpoint present
+    ckpt_dir = str(tmp_path)
+    model, proc, _ = setup_model()
+    from dct_autoencoder_tpu.train.checkpoint import save_train_state
+    from dct_autoencoder_tpu.train.loop import TrainState, make_optimizer
+
+    tx = make_optimizer(1e-4, 10)
+    state = TrainState.create(model.params, tx)
+    save_train_state(ckpt_dir, state, model.patchnorm)
+
+    monkeypatch.setattr(cli_mod, "_CLI_INVOKED", False)
+    cli_mod._make_stall_handler(ckpt_dir)()
+    assert calls == [("exit", 73)]
+
+    # CLI context with a checkpoint: execv into a fresh resume
+    calls.clear()
+    monkeypatch.setattr(cli_mod, "_CLI_INVOKED", True)
+    monkeypatch.setattr(
+        sys, "argv", ["cli.py", "--batch_size", "4", "--stall_timeout_s=300"]
+    )
+    cli_mod._make_stall_handler(ckpt_dir)()
+    assert calls and calls[0][0] == "execv"
+    argv = calls[0][1][1]
+    assert f"--resume_out_dir={ckpt_dir}" in argv
+    assert "--stall_timeout_s=300" in argv  # survives the restart
+    assert "--restart_count=1" in argv
+    # execv was stubbed (returned), so the handler fell through to _exit
+    assert calls[-1] == ("exit", 73)
+
+    # CLI context WITHOUT a checkpoint: plain exit, no execv into nothing
+    calls.clear()
+    empty = str(tmp_path / "empty")
+    import os as _os
+
+    _os.makedirs(empty)
+    cli_mod._make_stall_handler(empty)()
+    assert calls == [("exit", 73)]
