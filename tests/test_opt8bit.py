@@ -174,3 +174,58 @@ def test_opt8bit_real_train_step_and_memory():
     step32 = jax.jit(make_train_step(model.module, tx32))
     _, m32 = step32(s32, model.patchnorm, batch)
     np.testing.assert_allclose(float(m8["loss"]), float(m32["loss"]), rtol=1e-4)
+
+
+def test_opt8bit_composes_with_tp_at_rest():
+    """model_state_sharding under tp2 with int8 moments: TP specs apply only
+    to shape-compatible leaves (the quantized code/absmax payloads fall back
+    cleanly), and the pinned-layout step reproduces single-device metrics."""
+    from dct_autoencoder_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        replicated,
+        shard_batch,
+        shard_params,
+    )
+    from dct_autoencoder_tpu.train.loop import model_state_sharding
+
+    model, proc, batch = setup_model()
+    mesh = make_mesh(n_model=2)
+    n_data = mesh.shape["data"]
+    b = batch.patches.shape[0]
+    pad_rows = (-b) % n_data
+    if pad_rows:
+        pad = lambda x: x if x.ndim == 0 else jnp.pad(
+            x, [(0, pad_rows)] + [(0, 0)] * (x.ndim - 1)
+        )
+        batch = jax.tree_util.tree_map(pad, batch)
+        batch = batch.replace(key_pad_mask=batch.key_pad_mask.at[b:].set(True))
+
+    tx = make_optimizer(
+        learning_rate=1e-3, max_iters=10, warmup_steps=0, opt_8bit=True
+    )
+    step_fn = make_train_step(model.module, tx)
+    _, m_single = jax.jit(step_fn)(
+        TrainState.create(model.params, tx), model.patchnorm, batch
+    )
+
+    with mesh:
+        params = shard_params(model.params, mesh, tensor_parallel=True)
+        state = TrainState.create(params, tx)
+        ssh = model_state_sharding(state, mesh, tensor_parallel=True)
+        state = jax.device_put(state, ssh)
+        jitted = jax.jit(
+            step_fn,
+            in_shardings=(ssh, replicated(mesh), batch_sharding(mesh)),
+            out_shardings=(ssh, None),
+        )
+        new_state, m_sh = jitted(state, model.patchnorm, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_sh["loss"]), rtol=1e-4
+    )
+    # master params sharded over the model axis at rest
+    assert any(
+        "model" in str(getattr(v, "sharding", ""))
+        for v in jax.tree_util.tree_leaves(new_state.params)
+    )
