@@ -218,8 +218,18 @@ def make_train_step(
     vq_kmeans_init: bool = True,
     vq_expire_threshold: float = 15.0,
     vq_expire_every: int = 50,
+    dynamic_hparams: bool = False,
 ) -> Callable:
     """Build the pure train-step fn (state, patchnorm, batch) -> (state, metrics).
+
+    dynamic_hparams=True: the step takes a 5th argument `hparams` — a dict of
+    jnp scalars holding per-trial loss weights plus 'lr_scale' — so sweep
+    trials with different hyperparameters reuse ONE compiled program (remote
+    compiles are minutes each; train/sweep.py).  Build `tx` with peak
+    learning_rate=1.0: the warmup-cosine schedule is linear in its peak and
+    optax.adamw's final transform scales the whole update (incl. the decoupled
+    weight-decay term) by lr, so multiplying the updates by lr_scale is EXACT,
+    not an approximation (equivalence-tested in tests/test_train.py).
 
     The batch arrives already normalized is NOT assumed: normalization is done
     inside the step (frozen patchnorm), so one jit program covers
@@ -254,7 +264,7 @@ def make_train_step(
 
     def loss_fn(
         params, vq_stats, patchnorm, batch, step, rng, grid_sizes=None,
-        pixel_rows=None, pixel_weight=None, token_weight=None,
+        pixel_rows=None, pixel_weight=None, token_weight=None, hparams=None,
     ):
         normalized = batch.replace(patches=apply_patchnorm(patchnorm, batch))
         losses = step_autoencoder(
@@ -282,7 +292,12 @@ def make_train_step(
                     losses[k] = losses[k] * token_weight
         new_vq_stats = losses.pop("vq_stats", None)
         vq_z = losses.pop("vq_z", None)
-        total = weighted_total(losses, loss_weights, warmup_dict, step.astype(jnp.float32))
+        lw = loss_weights
+        if hparams is not None:
+            # per-trial weights as traced scalars (shared-program sweep)
+            lw = dict(loss_weights or {})
+            lw.update({k: v for k, v in hparams.items() if k != "lr_scale"})
+        total = weighted_total(losses, lw, warmup_dict, step.astype(jnp.float32))
         metrics = {k: v for k, v in losses.items() if k not in ("codes", "rec_patches")}
         metrics["loss"] = total
         return total, (metrics, new_vq_stats, vq_z)
@@ -292,12 +307,14 @@ def make_train_step(
         patchnorm: PatchNormState,
         batch: DCTPatches,
         grid_sizes: Optional[jnp.ndarray] = None,
+        hparams: Optional[Dict[str, jnp.ndarray]] = None,
     ):
         rng = jax.random.fold_in(base_key, state.step) if is_vq else None
         if accum_steps == 1:
             (_, (metrics, new_vq_stats, vq_z)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params, state.vq_stats, patchnorm, batch, state.step, rng, grid_sizes)
+            )(state.params, state.vq_stats, patchnorm, batch, state.step, rng,
+              grid_sizes, None, None, None, hparams)
             surgery_mask = ~batch.key_pad_mask
         else:
             # micro-batch over the leading (row) axis with a scan: grads are
@@ -353,6 +370,7 @@ def make_train_step(
                 return jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params, vqs, patchnorm, micro_batch, state.step,
                     rng_i, grid_sizes, pixel_rows, pixel_weight, token_weight,
+                    hparams,
                 )
 
             def body(carry, i):
@@ -379,6 +397,12 @@ def make_train_step(
             surgery_mask = ~batch.key_pad_mask[(accum_steps - 1) * mb :]
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        if dynamic_hparams:
+            # tx was built at unit peak lr; optax.adamw's last transform
+            # multiplies the whole update (adam direction + decoupled weight
+            # decay) by lr, so this per-trial scaling is exact
+            lr_s = hparams["lr_scale"]
+            updates = jax.tree_util.tree_map(lambda u: u * lr_s, updates)
         new_params = optax.apply_updates(state.params, updates)
 
         if new_vq_stats is None:

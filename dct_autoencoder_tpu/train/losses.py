@@ -134,7 +134,14 @@ def weighted_total(
     warmup_dict: Optional[Dict[str, int]] = None,
     global_step: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Weighted loss sum with optional per-term linear warmup (main.py:223-237)."""
+    """Weighted loss sum with optional per-term linear warmup (main.py:223-237).
+
+    Weights may be Python floats (compile-time constants, the normal path) or
+    traced jnp scalars (the shared-program sweep: hyperparams ride as jit
+    ARGUMENTS so trials with different weights reuse ONE device program —
+    remote compiles are minutes each, train/sweep.py).  The `w == 0` term-skip
+    is only applied to static floats; a traced weight always contributes.
+    """
     weights = dict(DEFAULT_LOSS_WEIGHTS)
     if loss_weights:
         weights.update(loss_weights)
@@ -147,6 +154,7 @@ def weighted_total(
             warm = warmup_dict[k]
             frac = jnp.minimum((global_step + 1.0) / warm, 1.0)
             w = w * frac
-        if w != 0.0:
-            total = total + v * w
+        if isinstance(w, (int, float)) and w == 0.0:
+            continue
+        total = total + v * w
     return total

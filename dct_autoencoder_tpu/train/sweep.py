@@ -129,6 +129,138 @@ class TPESuggester:
         return out
 
 
+def run_onchip(
+    image_dataset_path_or_url: str,
+    model_config_path: str = "./conf/small-448.json",
+    trials: int = 8,
+    max_iters: int = 60,
+    batch_size: int = 4,
+    seed: int = 0,
+    methods: Tuple[str, ...] = ("tpe", "random"),
+    out_file: str = "sweep_results.jsonl",
+    score_last: int = 8,
+    calib_steps: int = 3,
+    log=print,
+):
+    """Shared-program sweep: every trial reuses ONE compiled train step.
+
+    The per-process path (`main`) calls the full CLI per trial, which bakes
+    loss weights and learning rate into the program as compile-time
+    constants — on this environment's remote-compile link (60-240 s per
+    program) compiles would dominate an 8-trial campaign.  Here the
+    hyperparameters ride as jit ARGUMENTS (make_train_step
+    dynamic_hparams=True): model init, patchnorm calibration, and the packed
+    batches are built once with beta=0 (deterministic full sequences -> one
+    static shape), then every trial of every method replays the same device
+    program with per-trial (loss weights, lr_scale) scalars.  lr_scale
+    multiplies a unit-peak warmup-cosine schedule, which is exact for
+    optax.adamw (the schedule is linear in its peak and adamw's final
+    transform scales the whole update).  Counterpart of the reference's
+    wandb bayes campaign (sweep.yaml:1-24, wandb_main.py:1-24) with the
+    random-search baseline run for the same budget.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.dataset import batched, load_and_transform_dataset
+    from ..models.config import DCTAutoencoderConfig
+    from ..models.factory import get_model_and_processor
+    from .loop import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+        pad_batch_rows,
+        prepare_train_batch,
+        train_patch_norm,
+    )
+
+    cfg = DCTAutoencoderConfig.from_json_file(model_config_path)
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0, seed=seed)
+    proc.build_attn_mask = False
+
+    def stream():
+        return load_and_transform_dataset(
+            image_dataset_path_or_url, proc, shuffle_buffer=1000, seed=seed
+        )
+
+    train_patch_norm(
+        model, proc, batched(stream(), batch_size), steps=calib_steps,
+        batch_size=batch_size, log=log,
+    )
+
+    # one fixed batch set: beta=0 packing is deterministic, rows padded to a
+    # single static count -> exactly one device program for the whole sweep
+    raw = list(
+        proc.iter_batches(batched(stream(), batch_size), batch_size, drain=True)
+    )
+    prepared = [prepare_train_batch(b)[0] for b in raw]
+    fixed_rows = max(b.patches.shape[0] for b in prepared)
+    batches = [pad_batch_rows(b, fixed_rows) for b in prepared]
+    assert len({b.patches.shape for b in batches}) == 1, (
+        [b.patches.shape for b in batches]
+    )
+    log(
+        f"sweep data: {len(batches)} packed batches of shape "
+        f"{batches[0].patches.shape} (one program for all trials)"
+    )
+
+    # unit-peak schedule; per-trial lr rides as the lr_scale argument
+    tx = make_optimizer(learning_rate=1.0, max_iters=max_iters)
+    step_fn = make_train_step(
+        model.module, tx, loss_weights=None, seed=seed, dynamic_hparams=True
+    )
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+
+    init_params = jax.tree_util.tree_map(np.asarray, model.params)
+    weight_keys = [k for k in DEFAULT_SPACE if k != "learning_rate"]
+
+    def run_trial(params_hp: Dict[str, float]) -> Dict[str, float]:
+        params = jax.tree_util.tree_map(jnp.asarray, init_params)
+        state = TrainState.create(params, tx, model.vq_stats)
+        hparams = {k: jnp.float32(params_hp[k]) for k in weight_keys}
+        hparams["lr_scale"] = jnp.float32(params_hp["learning_rate"])
+        recs, losses = [], []
+        for i in range(max_iters):
+            state, metrics = jitted(
+                state, model.patchnorm, batches[i % len(batches)], None, hparams
+            )
+            if i >= max_iters - score_last:
+                recs.append(float(metrics["rec_loss"]))
+                losses.append(float(metrics["loss"]))
+        return {
+            "rec_loss": float(np.mean(recs)),
+            "loss": float(np.mean(losses)),
+        }
+
+    results = {}
+    for method in methods:
+        rng = random.Random(seed)
+        suggester = TPESuggester(DEFAULT_SPACE, rng) if method == "tpe" else None
+        best = None
+        for t in range(trials):
+            hp = suggester.suggest() if suggester else sample(DEFAULT_SPACE, rng)
+            import time
+
+            t0 = time.monotonic()
+            scores = run_trial(hp)
+            record = {
+                "trial": t, "method": method, **hp, **scores,
+                "wall_s": round(time.monotonic() - t0, 1),
+            }
+            with open(out_file, "a") as f:
+                f.write(json.dumps(record) + "\n")
+            if suggester:
+                suggester.observe(hp, scores["rec_loss"])
+            if best is None or scores["rec_loss"] < best["rec_loss"]:
+                best = record
+            log(f"[{method}] trial {t}: rec_loss={scores['rec_loss']:.4f} "
+                f"({record['wall_s']}s) best={best['rec_loss']:.4f}")
+        results[method] = best
+    log(f"best per method: {results}")
+    return results
+
+
 def main(
     image_dataset_path_or_url: str = None,
     preprocessed_dataset_path_or_url: str = None,
@@ -224,4 +356,21 @@ if __name__ == "__main__":
     p.add_argument("--out_file", default="sweep_results.jsonl")
     p.add_argument("--fixed_init", type=lambda v: v.lower() in ("1", "true", "yes"), default=True)
     p.add_argument("--rss_limit_gb", type=float, default=0.0)
-    main(**vars(p.parse_args()))
+    # shared-program campaign: one compile for ALL trials of ALL methods
+    # (run_onchip); --method selects a single method, default runs tpe+random
+    p.add_argument("--onchip", action="store_true")
+    a = p.parse_args()
+    if a.onchip:
+        run_onchip(
+            a.image_dataset_path_or_url,
+            model_config_path=a.model_config_path,
+            trials=a.trials,
+            max_iters=a.max_iters,
+            batch_size=a.batch_size,
+            seed=a.seed,
+            out_file=a.out_file,
+        )
+    else:
+        kw = vars(a)
+        kw.pop("onchip")
+        main(**kw)

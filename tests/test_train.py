@@ -678,3 +678,47 @@ def test_stall_handler_cli_vs_library(tmp_path, monkeypatch):
     _os.makedirs(empty)
     cli_mod._make_stall_handler(empty)()
     assert calls == [("exit", 73)]
+
+
+def test_dynamic_hparams_step_matches_static_and_reuses_program():
+    """Shared-program sweep (train/sweep.py run_onchip): a step built with
+    dynamic_hparams=True and a unit-peak optimizer must reproduce the static
+    path EXACTLY (optax.adamw's final transform is linear in lr, and the
+    warmup-cosine schedule is linear in its peak), and different hyperparam
+    values must NOT mint new programs (remote compiles are minutes each)."""
+    lw = {"rec_loss": 0.3, "rec_loss_unnormalized": 1.2,
+          "commit_loss": 0.05, "entropy_loss": 0.2}
+    lr = 2.5e-3
+
+    model, proc, batch = setup_model()
+
+    tx_static = make_optimizer(learning_rate=lr, max_iters=100)
+    s_static = TrainState.create(model.params, tx_static)
+    step_static = jax.jit(make_train_step(model.module, tx_static, loss_weights=lw))
+    s_static, m_static = step_static(s_static, model.patchnorm, batch)
+
+    tx_unit = make_optimizer(learning_rate=1.0, max_iters=100)
+    s_dyn = TrainState.create(model.params, tx_unit)
+    step_dyn = jax.jit(
+        make_train_step(model.module, tx_unit, dynamic_hparams=True),
+        donate_argnums=(0,),
+    )
+    hp = {k: jnp.float32(v) for k, v in lw.items()}
+    hp["lr_scale"] = jnp.float32(lr)
+    s_dyn, m_dyn = step_dyn(s_dyn, model.patchnorm, batch, None, hp)
+
+    np.testing.assert_allclose(
+        float(m_dyn["loss"]), float(m_static["loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_static.params),
+        jax.tree_util.tree_leaves(s_dyn.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
+
+    # a different trial's hyperparams reuse the SAME compiled program
+    hp2 = {k: jnp.float32(v * 0.5) for k, v in lw.items()}
+    hp2["lr_scale"] = jnp.float32(lr * 10)
+    s_dyn, m2 = step_dyn(s_dyn, model.patchnorm, batch, None, hp2)
+    assert np.isfinite(float(m2["loss"]))
+    assert step_dyn._cache_size() == 1, step_dyn._cache_size()
