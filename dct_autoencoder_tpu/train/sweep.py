@@ -140,6 +140,21 @@ def run_onchip(
     out_file: str = "sweep_results.jsonl",
     score_last: int = 8,
     calib_steps: int = 3,
+    # round-5 sweep-science knobs (VERDICT r4 #4):
+    # * lr_hi widens the learning-rate dimension above the reference
+    #   sweep.yaml ceiling (4e-4) — the round-4 campaign's TPE optimum sat
+    #   exactly ON that ceiling (trials 5-7), i.e. the reference space clips
+    #   the real optimum;
+    # * noise_repeats re-runs the campaign-best config N times with FRESH
+    #   model-init seeds (params ride as jit arguments, so repeats reuse the
+    #   one compiled program) — the spread is the seed-noise floor that makes
+    #   a TPE-vs-random margin interpretable.  Init is the right thing to
+    #   vary: data order and packing are deterministic here (beta=0, fixed
+    #   batch set) and the in-step gumbel stream is keyed by (seed, step),
+    #   so init variation is the only trial-to-trial stochasticity a real
+    #   campaign would see at fixed hyperparameters.
+    lr_hi: float = 0.0,
+    noise_repeats: int = 0,
     log=print,
 ):
     """Shared-program sweep: every trial reuses ONE compiled train step.
@@ -174,6 +189,11 @@ def run_onchip(
         prepare_train_batch,
         train_patch_norm,
     )
+
+    space = dict(DEFAULT_SPACE)
+    if lr_hi:
+        kind, lo, _ = space["learning_rate"]
+        space["learning_rate"] = (kind, lo, lr_hi)
 
     cfg = DCTAutoencoderConfig.from_json_file(model_config_path)
     model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0, seed=seed)
@@ -213,11 +233,17 @@ def run_onchip(
     jitted = jax.jit(step_fn, donate_argnums=(0,))
 
     init_params = jax.tree_util.tree_map(np.asarray, model.params)
-    weight_keys = [k for k in DEFAULT_SPACE if k != "learning_rate"]
+    weight_keys = [k for k in space if k != "learning_rate"]
 
-    def run_trial(params_hp: Dict[str, float]) -> Dict[str, float]:
-        params = jax.tree_util.tree_map(jnp.asarray, init_params)
-        state = TrainState.create(params, tx, model.vq_stats)
+    def run_trial(
+        params_hp: Dict[str, float], init_override=None, vq_stats_override=None
+    ) -> Dict[str, float]:
+        src = init_params if init_override is None else init_override
+        params = jax.tree_util.tree_map(jnp.asarray, src)
+        state = TrainState.create(
+            params, tx,
+            model.vq_stats if vq_stats_override is None else vq_stats_override,
+        )
         hparams = {k: jnp.float32(params_hp[k]) for k in weight_keys}
         hparams["lr_scale"] = jnp.float32(params_hp["learning_rate"])
         recs, losses = [], []
@@ -236,10 +262,10 @@ def run_onchip(
     results = {}
     for method in methods:
         rng = random.Random(seed)
-        suggester = TPESuggester(DEFAULT_SPACE, rng) if method == "tpe" else None
+        suggester = TPESuggester(space, rng) if method == "tpe" else None
         best = None
         for t in range(trials):
-            hp = suggester.suggest() if suggester else sample(DEFAULT_SPACE, rng)
+            hp = suggester.suggest() if suggester else sample(space, rng)
             import time
 
             t0 = time.monotonic()
@@ -258,6 +284,43 @@ def run_onchip(
                 f"({record['wall_s']}s) best={best['rec_loss']:.4f}")
         results[method] = best
     log(f"best per method: {results}")
+
+    if noise_repeats:
+        # seed-noise floor: the overall-best config, re-run with fresh model
+        # inits (same shapes -> the one compiled program is reused)
+        from ..models.autoencoder import DCTAutoencoder
+
+        best_overall = min(results.values(), key=lambda r: r["rec_loss"])
+        hp = {k: best_overall[k] for k in space}
+        floor_scores = []
+        for r in range(noise_repeats):
+            m2 = DCTAutoencoder(cfg, seed=seed + 1001 + r)
+            import time
+
+            t0 = time.monotonic()
+            scores = run_trial(
+                hp,
+                init_override=jax.tree_util.tree_map(np.asarray, m2.params),
+                vq_stats_override=m2.vq_stats,
+            )
+            record = {
+                "trial": r, "method": "noise", **hp, **scores,
+                "init_seed": seed + 1001 + r,
+                "wall_s": round(time.monotonic() - t0, 1),
+            }
+            with open(out_file, "a") as f:
+                f.write(json.dumps(record) + "\n")
+            floor_scores.append(scores["rec_loss"])
+            log(f"[noise] repeat {r}: rec_loss={scores['rec_loss']:.4f}")
+        floor = {
+            "mean": float(np.mean(floor_scores)),
+            "std": float(np.std(floor_scores)),
+            "min": float(np.min(floor_scores)),
+            "max": float(np.max(floor_scores)),
+            "n": noise_repeats,
+        }
+        results["noise_floor"] = floor
+        log(f"seed-noise floor at best config: {floor}")
     return results
 
 
@@ -359,6 +422,12 @@ if __name__ == "__main__":
     # shared-program campaign: one compile for ALL trials of ALL methods
     # (run_onchip); --method selects a single method, default runs tpe+random
     p.add_argument("--onchip", action="store_true")
+    p.add_argument("--lr_hi", type=float, default=0.0,
+                   help="widen the lr dimension's upper bound (0 = reference "
+                        "sweep.yaml ceiling 4e-4)")
+    p.add_argument("--noise_repeats", type=int, default=0,
+                   help="re-run the campaign-best config N times with fresh "
+                        "init seeds to measure the seed-noise floor (onchip)")
     a = p.parse_args()
     if a.onchip:
         run_onchip(
@@ -369,6 +438,8 @@ if __name__ == "__main__":
             batch_size=a.batch_size,
             seed=a.seed,
             out_file=a.out_file,
+            lr_hi=a.lr_hi,
+            noise_repeats=a.noise_repeats,
         )
     else:
         kw = vars(a)
