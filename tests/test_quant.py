@@ -225,3 +225,51 @@ def test_int8_gate_records_and_pipeline_flips(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         DCTPipeline.from_pretrained(src, dtype=np.float32, prefer_int8="always")
+
+
+def test_int8_gate_relative_mode(tmp_path):
+    """gate_mode='relative': the verdict compares the int8 flip rate to the
+    checkpoint's own noise-equivalence floor and checks end-to-end PSNR
+    parity (docs/int8_study_r3.md's criteria, made actionable)."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from dct_autoencoder_tpu.pipeline import DCTPipeline
+    from dct_autoencoder_tpu.tools.quantize_checkpoint import main as quantize_main
+
+    cfg = tiny_config("lfq")
+    model, proc = get_model_and_processor(cfg, sample_patches_beta=0.0)
+    rng = np.random.default_rng(5)
+    batch = make_batch(proc, rng, n_images=3)
+    model.patchnorm, _ = calibrate_patchnorm_batch(model.patchnorm, batch)
+    src = str(tmp_path / "model")
+    model.save_pretrained(src)
+
+    img_dir = str(tmp_path / "imgs")
+    os.makedirs(img_dir)
+    for i in range(3):
+        arr = (rng.uniform(0.1, 0.9, (64, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(img_dir, f"{i}.png"))
+
+    # generous bounds -> PASS, record carries the full relative evidence
+    q8 = str(tmp_path / "model-int8")
+    quantize_main(src, q8, validate_images=img_dir, gate=True,
+                  gate_mode="relative", flip_ratio_max=1e9, psnr_tolerance=1e9)
+    rec = json.load(open(os.path.join(src, "int8_serving.json")))
+    assert rec["pass"] and rec["gate_mode"] == "relative"
+    for key in ("int8_flips_per_10k", "noise_floor_flips_per_10k",
+                "flip_ratio", "psnr_fp", "psnr_int8", "psnr_delta"):
+        assert key in rec, key
+    assert rec["flip_ok"] and rec["psnr_ok"]
+    pipe = DCTPipeline.from_pretrained(src, dtype=np.float32)
+    assert pipe.model.config.encoder_config.quantize_int8
+
+    # impossible psnr tolerance -> FAIL via the psnr criterion
+    quantize_main(src, q8, validate_images=img_dir, gate=True,
+                  gate_mode="relative", flip_ratio_max=1e9, psnr_tolerance=-100.0)
+    rec = json.load(open(os.path.join(src, "int8_serving.json")))
+    assert not rec["pass"] and rec["flip_ok"] and not rec["psnr_ok"]
+    pipe2 = DCTPipeline.from_pretrained(src, dtype=np.float32)
+    assert not pipe2.model.config.encoder_config.quantize_int8
