@@ -27,10 +27,10 @@ def test_images_seen_dedups_restart_overlap():
     )
     series = images_seen_series(metrics)
     by_step = dict(series)
-    # 0..100 at 10/step = 1000; 100..300 at 20/step (trapezoid from the
-    # 10->20 jump at step 100 is 15 avg for the first segment)
-    assert by_step[100] == 1000.0
-    assert by_step[300] == 1000.0 + (15 * 50) + (20 * 150)
+    # last-wins dedup: step 100 takes the replayed rate 20, so the 50->100
+    # trapezoid averages (10+20)/2; everything after runs at 20/step
+    assert by_step[100] == 500.0 + 0.5 * (10 + 20) * 50
+    assert by_step[300] == by_step[100] + 20 * 200
 
 
 def test_arm_record_merges_evals(tmp_path):
