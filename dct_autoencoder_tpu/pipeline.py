@@ -141,11 +141,17 @@ class DCTPipeline:
                         break
             if int8_dir:
                 load_path = int8_dir
-                print(
-                    f"serving int8 form (gated: agreement "
-                    f"{record['agreement']:.4f} >= {record['threshold']}): "
-                    f"{load_path}"
+                crit = (
+                    f"agreement {record['agreement']:.4f} >= "
+                    f"{record['threshold']}"
+                    if "threshold" in record
+                    # relative gate (quantize_checkpoint --gate_mode
+                    # relative): flip-floor ratio + psnr delta criteria
+                    else f"flip ratio {record.get('flip_ratio')} <= "
+                    f"{record.get('flip_ratio_max')}, psnr delta "
+                    f"{record.get('psnr_delta')}"
                 )
+                print(f"serving int8 form (gated: {crit}): {load_path}")
             elif prefer_int8 == "always":
                 raise FileNotFoundError(
                     f"prefer_int8='always' but no passing int8 gate record at "

@@ -38,9 +38,14 @@ import os
 import numpy as np
 
 
-def _noise_equiv_model(model, seed: int):
+def _noise_equiv_model(model, seed: int, skip_layers=()):
     """fp sibling whose stack kernels carry uniform noise at the int8
-    rounding magnitude (±scale/2, scale = per-out-channel amax/127)."""
+    rounding magnitude (±scale/2, scale = per-out-channel amax/127).
+
+    skip_layers: layer indices LEFT UNPERTURBED — pass the quantizer's
+    bf16-protected layers so the probe models exactly the weights the int8
+    form actually rounds (a floor probe that perturbs layers the quantizer
+    never touches would overstate the floor)."""
     import copy
 
     import jax.numpy as jnp
@@ -48,6 +53,7 @@ def _noise_equiv_model(model, seed: int):
     from ..models.autoencoder import DCTAutoencoder
 
     rng = np.random.default_rng(seed)
+    skip = set(skip_layers)
 
     def walk(node):
         if isinstance(node, dict):
@@ -63,11 +69,24 @@ def _noise_equiv_model(model, seed: int):
             return {k: walk(v) for k, v in node.items()}
         return node
 
+    def walk_stack(stack_params):
+        out = {}
+        for k, v in stack_params.items():
+            if (
+                k.startswith("layers_")
+                and k.split("_")[-1].isdigit()
+                and int(k.split("_")[-1]) in skip
+            ):
+                out[k] = v
+            else:
+                out[k] = walk(v)
+        return out
+
     m = DCTAutoencoder(copy.deepcopy(model.config), dtype=model.dtype)
     params = dict(model.params)
     for stack in ("encoder", "decoder"):
         if stack in params:
-            params[stack] = walk(params[stack])
+            params[stack] = walk_stack(params[stack])
     m.params = params
     m.patchnorm = model.patchnorm
     m.vq_stats = model.vq_stats

@@ -104,6 +104,9 @@ def main(model_path: str, out_path: str, validate_images: str = "", group_size: 
         if not np.asarray(model.patchnorm.n).max() > 0:
             model.patchnorm, _ = calibrate_patchnorm_batch(model.patchnorm, batch)
             qmodel.patchnorm = model.patchnorm
+            # the int8 model was saved above with the UNCALIBRATED patchnorm;
+            # re-save so what serving loads is what the gate measured
+            qmodel.save_pretrained(out_path)
         nb = model.normalize_(batch)
         out_fp = model.forward(nb, training=False)
         out_q = qmodel.forward(nb, training=False)
@@ -126,9 +129,15 @@ def main(model_path: str, out_path: str, validate_images: str = "", group_size: 
                 codes_fp = np.asarray(out_fp["codes"])
                 noise_agrees = []
                 for seed in (1, 2):
-                    out_n = _noise_equiv_model(model, seed).forward(
-                        nb, training=False
-                    )
+                    # the probe perturbs exactly the weights the gated int8
+                    # form rounds (bf16-protected layers untouched).  It
+                    # models WEIGHT-rounding noise only; for the recommended
+                    # dynamic+first-2-bf16 config that is the right floor —
+                    # the r3 study measured that config AT the weight-only
+                    # flip floor (258 vs 262/10k, docs/int8_study_r3.md)
+                    out_n = _noise_equiv_model(
+                        model, seed, skip_layers=layers
+                    ).forward(nb, training=False)
                     noise_agrees.append(
                         (codes_fp[valid] == np.asarray(out_n["codes"])[valid]).mean()
                     )
@@ -155,6 +164,10 @@ def main(model_path: str, out_path: str, validate_images: str = "", group_size: 
                     "int8_flips_per_10k": round(int8_flips, 1),
                     "noise_floor_flips_per_10k": round(noise_flips, 1),
                     "noise_seeds": [1, 2],
+                    # what the floor models: weight-rounding noise on the
+                    # layers the quantizer actually touches
+                    "noise_floor_kind": "weight_rounding",
+                    "noise_floor_skip_layers": list(layers),
                     "flip_ratio": round(int8_flips / max(noise_flips, 1e-9), 3),
                     "flip_ratio_max": flip_ratio_max,
                     "flip_ok": bool(flip_ok),
@@ -174,7 +187,13 @@ def main(model_path: str, out_path: str, validate_images: str = "", group_size: 
                 ok = bool(agree >= gate_threshold)
             record = {
                 "agreement": float(agree),
-                "threshold": float(gate_threshold),
+                # threshold is the ABSOLUTE mode's criterion; relative-mode
+                # records carry their own criteria in `extra` instead
+                **(
+                    {"threshold": float(gate_threshold)}
+                    if gate_mode == "absolute"
+                    else {}
+                ),
                 "gate_mode": gate_mode,
                 **extra,
                 "pass": ok,

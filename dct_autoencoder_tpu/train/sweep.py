@@ -270,8 +270,14 @@ def run_onchip(
 
             t0 = time.monotonic()
             scores = run_trial(hp)
+            # NOTE {**hp, **scores}: the 'rec_loss' SCORE overwrites the
+            # 'rec_loss' loss-WEIGHT in the flat record (the reference
+            # sweep.yaml names both this way).  The unambiguous hyperparams
+            # ride under "hp"; the flat keys stay for trials.jsonl
+            # back-compat with the r4 campaign artifact.
             record = {
                 "trial": t, "method": method, **hp, **scores,
+                "hp": dict(hp),
                 "wall_s": round(time.monotonic() - t0, 1),
             }
             with open(out_file, "a") as f:
@@ -291,7 +297,9 @@ def run_onchip(
         from ..models.autoencoder import DCTAutoencoder
 
         best_overall = min(results.values(), key=lambda r: r["rec_loss"])
-        hp = {k: best_overall[k] for k in space}
+        # the "hp" sub-dict, NOT the flat record: the flat 'rec_loss' key is
+        # the SCORE (it clobbered the sampled loss weight, see above)
+        hp = {k: best_overall["hp"][k] for k in space}
         floor_scores = []
         for r in range(noise_repeats):
             m2 = DCTAutoencoder(cfg, seed=seed + 1001 + r)
@@ -305,6 +313,7 @@ def run_onchip(
             )
             record = {
                 "trial": r, "method": "noise", **hp, **scores,
+                "hp": dict(hp),
                 "init_seed": seed + 1001 + r,
                 "wall_s": round(time.monotonic() - t0, 1),
             }

@@ -42,6 +42,30 @@ def test_quant_roundtrip_error_bounded():
     assert np.mean(np.abs(xh - x)) / np.mean(np.abs(x)) < 0.05
 
 
+def test_quant_roundtrip_pins_opt8bit_quantizer():
+    # the study's numpy roundtrip must track the OPTIMIZER's blockwise
+    # quantizer (train/opt8bit.py) — if someone changes _nearest_idx
+    # tie-breaking, BLOCK, or scale handling there, this test forces the
+    # committed study implementation (and doc) to follow
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from dct_autoencoder_tpu.train import opt8bit
+
+    assert opt8bit.BLOCK == 256  # the study's BLOCK constant
+    rng = np.random.default_rng(1)
+    x = rng.lognormal(mean=-8.0, sigma=3.0, size=(1024,)).astype(np.float32)
+    cb = opt8bit._unsigned_codebook()
+    codes, absmax = opt8bit.quantize_blockwise(jnp.asarray(x), cb)
+    ref = np.asarray(
+        opt8bit.dequantize_blockwise(codes, absmax, cb, x.shape, x.size)
+    )
+    ours = quant_roundtrip(x, np.sort(np.asarray(cb, np.float64)))
+    np.testing.assert_allclose(ours, ref, rtol=2e-6, atol=0)
+
+
 def test_exact_zero_rounding_hazard_is_measurable():
     # the study's headline mechanism: codebooks whose smallest nonzero level
     # is large round tiny-but-real nu to exact 0 (update denominator -> eps)
