@@ -51,7 +51,8 @@ import os
 def main(model_path: str, out_path: str, validate_images: str = "", group_size: int = 0,
          mode: str = None, bf16_layers: str = "", gate: bool = False,
          gate_threshold: float = 0.999, gate_mode: str = "absolute",
-         flip_ratio_max: float = 1.25, psnr_tolerance: float = 0.05) -> None:
+         flip_ratio_max: float = 1.25, psnr_tolerance: float = 0.05,
+         gate_noise_seeds: int = 2) -> None:
     import numpy as np
 
     from ..models.autoencoder import DCTAutoencoder
@@ -128,7 +129,12 @@ def main(model_path: str, out_path: str, validate_images: str = "", group_size: 
 
                 codes_fp = np.asarray(out_fp["codes"])
                 noise_agrees = []
-                for seed in (1, 2):
+                # the floor is a MEAN over perturbation draws: more seeds =
+                # a strictly better estimate (the 2-seed default keeps the
+                # gate cheap; campaigns that gate a serving flip should use
+                # 4+ so a low draw can't fail/pass the ratio by chance)
+                seeds = list(range(1, max(int(gate_noise_seeds), 1) + 1))
+                for seed in seeds:
                     # the probe perturbs exactly the weights the gated int8
                     # form rounds (bf16-protected layers untouched).  It
                     # models WEIGHT-rounding noise only; for the recommended
@@ -163,7 +169,7 @@ def main(model_path: str, out_path: str, validate_images: str = "", group_size: 
                 extra = {
                     "int8_flips_per_10k": round(int8_flips, 1),
                     "noise_floor_flips_per_10k": round(noise_flips, 1),
-                    "noise_seeds": [1, 2],
+                    "noise_seeds": seeds,
                     # what the floor models: weight-rounding noise on the
                     # layers the quantizer actually touches
                     "noise_floor_kind": "weight_rounding",
@@ -245,7 +251,11 @@ if __name__ == "__main__":
                         "within psnr_tolerance (pixel-serving contract)")
     p.add_argument("--flip_ratio_max", type=float, default=1.25)
     p.add_argument("--psnr_tolerance", type=float, default=0.05)
+    p.add_argument("--gate_noise_seeds", type=int, default=2,
+                   help="perturbation draws averaged into the relative-mode "
+                        "noise floor (more = better floor estimate)")
     args = p.parse_args()
     main(args.model_path, args.out_path, args.validate_images, args.group_size,
          args.mode, args.bf16_layers, args.gate, args.gate_threshold,
-         args.gate_mode, args.flip_ratio_max, args.psnr_tolerance)
+         args.gate_mode, args.flip_ratio_max, args.psnr_tolerance,
+         args.gate_noise_seeds)
