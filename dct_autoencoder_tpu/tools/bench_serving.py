@@ -134,13 +134,19 @@ def main():
     p.add_argument("--ar_model_path", default=None)
     p.add_argument("--gen_tokens", type=int, default=256)
     p.add_argument("--gen_requests", type=int, default=16)
+    # 'auto' benches what production serves (the gated int8 form when the
+    # checkpoint passed its gate); 'never' benches the fp pipeline for a
+    # same-session quantization A/B
+    p.add_argument("--prefer_int8", default="auto",
+                   choices=("auto", "never", "always"))
     args = p.parse_args()
 
     from ..pipeline import DCTPipeline
     from .serve import BatchingServer, _Server, make_handler
 
     base = DCTPipeline.from_pretrained(
-        args.model_path, sample_patches_beta=args.sample_patches_beta
+        args.model_path, sample_patches_beta=args.sample_patches_beta,
+        prefer_int8=args.prefer_int8,
     )
     base.processor.build_attn_mask = False
     pipe = DCTPipeline(base.model, base.processor, pad_rows_to=8, pad_tokens_to=128)
