@@ -253,12 +253,15 @@ def test_int8_gate_relative_mode(tmp_path):
         arr = (rng.uniform(0.1, 0.9, (64, 64, 3)) * 255).astype(np.uint8)
         Image.fromarray(arr).save(os.path.join(img_dir, f"{i}.png"))
 
-    # generous bounds -> PASS, record carries the full relative evidence
+    # generous bounds -> PASS, record carries the full relative evidence;
+    # gate_noise_seeds widens the floor estimate and is recorded verbatim
     q8 = str(tmp_path / "model-int8")
     quantize_main(src, q8, validate_images=img_dir, gate=True,
-                  gate_mode="relative", flip_ratio_max=1e9, psnr_tolerance=1e9)
+                  gate_mode="relative", flip_ratio_max=1e9, psnr_tolerance=1e9,
+                  gate_noise_seeds=3)
     rec = json.load(open(os.path.join(src, "int8_serving.json")))
     assert rec["pass"] and rec["gate_mode"] == "relative"
+    assert rec["noise_seeds"] == [1, 2, 3]
     for key in ("int8_flips_per_10k", "noise_floor_flips_per_10k",
                 "flip_ratio", "psnr_fp", "psnr_int8", "psnr_delta"):
         assert key in rec, key
